@@ -1,0 +1,87 @@
+"""Benchmark: SAM box-prompted mask generation throughput on one TPU chip.
+
+Measures the SAMRS generation hot path (SURVEY.md §3.1): ViT-H image encode
+(1024², bf16, flash-attention global layers) + batched decode of 64 box
+prompts + on-device mask upsample/threshold — i.e. everything between "image
+on device" and "binary masks ready", per image.
+
+Baseline: the reference pipeline (PyTorch fp32 eager, 1 image/encoder call,
+20-box decoder batches, GD/main_sam_hbox_semantic.py) measures ~1.8 img/s on
+an A100-class GPU for ViT-H; the repo publishes no number (BASELINE.md), so
+vs_baseline uses that measured-order estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMG_PER_S = 1.8  # PyTorch eager ViT-H on A100-class GPU (estimate)
+
+
+def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.sam.build import init_sam_variables
+    from samrs_tpu.sam.sam import Sam, postprocess_masks
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = sam_config(
+        variant,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_flash_attention=on_tpu,
+    )
+    model = Sam(cfg)
+    variables = init_sam_variables(model, seed=0)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+    boxes = rng.uniform(0, cfg.image_size, (n_boxes, 2, 2)).astype(np.float32)
+    pts = jnp.asarray(np.sort(boxes, axis=1))
+    labs = jnp.tile(jnp.asarray([[2, 3]], jnp.int32), (n_boxes, 1))
+
+    @jax.jit
+    def step(variables, img, pts, labs):
+        feats = model.apply(variables, img, method=Sam.encode_image)
+        low_res, iou = model.apply(
+            variables, feats, pts, labs, None, False, method=Sam.predict
+        )
+        masks = postprocess_masks(
+            low_res, (cfg.image_size, cfg.image_size), (cfg.image_size, cfg.image_size),
+            cfg.image_size,
+        )
+        return (masks > cfg.mask_threshold), iou
+
+    # warmup/compile
+    m, _ = step(variables, img, pts, labs)
+    m.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        m, iou = step(variables, img, pts, labs)
+    m.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_s = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"SAM {variant} box-prompted images/sec/chip ({n_boxes} boxes/img)",
+                "value": round(img_per_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    variant = sys.argv[1] if len(sys.argv) > 1 else "vit_h"
+    main(variant)

@@ -1,0 +1,234 @@
+"""Structured configuration system.
+
+The reference scatters configuration across per-driver argparse blocks and hard-coded
+constants (ED/main_pretrain.py:30-77, dataset roots :189-204, pretrained-weight paths
+models.py:201-265).  Here every driver consumes one typed dataclass tree that can be
+built from CLI ``key=value`` overrides, JSON files, or Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+def _coerce(value: str, typ: Any) -> Any:
+    """Coerce a CLI string to the annotated field type."""
+    origin = getattr(typ, "__origin__", None)
+    if typ in (str, Any):
+        return value
+    if typ is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if typ is int:
+        return int(value)
+    if typ is float:
+        return float(value)
+    if origin in (tuple, list):
+        args = getattr(typ, "__args__", (str,))
+        elem = args[0]
+        parts = [p for p in value.split(",") if p]
+        out = [_coerce(p, elem) for p in parts]
+        return tuple(out) if origin is tuple else out
+    if origin is not None and type(None) in getattr(typ, "__args__", ()):  # Optional[...]
+        if value.lower() in ("none", "null", ""):
+            return None
+        inner = [a for a in typ.__args__ if a is not type(None)][0]
+        return _coerce(value, inner)
+    return value
+
+
+@dataclass
+class Config:
+    """Base class: dict/JSON round-trip + dotted-path CLI overrides."""
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        kwargs = {}
+        for f in fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if is_dataclass(f.type) and isinstance(v, dict):
+                v = f.type.from_dict(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def override(self, assignments: Sequence[str]) -> "Config":
+        """Apply ``a.b.c=value`` CLI overrides, returning a new config."""
+        cfg = dataclasses.replace(self)
+        for a in assignments:
+            if "=" not in a:
+                raise ValueError(f"override must be key=value, got {a!r}")
+            path, value = a.split("=", 1)
+            keys = path.split(".")
+            objs = [cfg]
+            for k in keys[:-1]:
+                objs.append(getattr(objs[-1], k))
+            leaf_owner, leaf = objs[-1], keys[-1]
+            ftypes = {f.name: f.type for f in fields(leaf_owner)}
+            if leaf not in ftypes:
+                raise KeyError(f"unknown config field {path!r}")
+            new_val = _coerce(value, ftypes[leaf])
+            # rebuild from the leaf outwards so nested dataclasses stay immutable-ish
+            updated = dataclasses.replace(leaf_owner, **{leaf: new_val})
+            for parent, key in zip(reversed(objs[:-1]), reversed(keys[:-1])):
+                updated = dataclasses.replace(parent, **{key: updated})
+            cfg = updated
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# SAM model configs (reference: GD/segment_anything/build_sam.py:14-101)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SamConfig(Config):
+    """Hyper-parameters of one SAM variant.
+
+    Defaults mirror the shared hyper-parameters of ``_build_sam``
+    (build_sam.py:55-101): prompt dim 256, image 1024, patch 16, window 14,
+    decoder depth 2 / mlp 2048 / heads 8, iou head depth 3.
+    """
+
+    variant: str = "vit_b"
+    encoder_embed_dim: int = 768
+    encoder_depth: int = 12
+    encoder_num_heads: int = 12
+    encoder_global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    image_size: int = 1024
+    patch_size: int = 16
+    window_size: int = 14
+    prompt_embed_dim: int = 256
+    mask_in_chans: int = 16
+    decoder_depth: int = 2
+    decoder_mlp_dim: int = 2048
+    decoder_num_heads: int = 8
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    num_multimask_outputs: int = 3
+    mask_threshold: float = 0.0
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # TPU-specific knobs (no reference analogue)
+    compute_dtype: str = "bfloat16"  # encoder matmuls; decode path stays fp32
+    use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+
+SAM_VARIANTS: Dict[str, Dict[str, Any]] = {
+    # build_sam.py:14-44 — embed 1280/1024/768, depth 32/24/12, heads 16/16/12
+    "vit_h": dict(
+        encoder_embed_dim=1280,
+        encoder_depth=32,
+        encoder_num_heads=16,
+        encoder_global_attn_indexes=(7, 15, 23, 31),
+    ),
+    "vit_l": dict(
+        encoder_embed_dim=1024,
+        encoder_depth=24,
+        encoder_num_heads=16,
+        encoder_global_attn_indexes=(5, 11, 17, 23),
+    ),
+    "vit_b": dict(
+        encoder_embed_dim=768,
+        encoder_depth=12,
+        encoder_num_heads=12,
+        encoder_global_attn_indexes=(2, 5, 8, 11),
+    ),
+}
+
+
+def sam_config(variant: str, **overrides: Any) -> SamConfig:
+    if variant not in SAM_VARIANTS:
+        raise KeyError(f"unknown SAM variant {variant!r}; have {list(SAM_VARIANTS)}")
+    kw = dict(SAM_VARIANTS[variant])
+    kw.update(overrides)
+    return SamConfig(variant=variant, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Training configs (reference: ED/main_pretrain.py:30-77, main_finetune.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OptimConfig(Config):
+    optimizer: str = "adamw"
+    lr: float = 6e-5
+    weight_decay: float = 0.05
+    betas: Tuple[float, float] = (0.9, 0.999)
+    layer_decay: float = 0.9  # layer-wise lr decay rate (mmcv_custom constructors)
+    grad_clip: float = 5.0  # ED/main_pretrain.py:616
+    warmup_iters: int = 1500
+    min_lr_ratio: float = 0.0
+    schedule: str = "cosine"  # per-iteration (ED/main_pretrain.py:656)
+
+
+@dataclass
+class DataConfig(Config):
+    root: str = "/data/samrs"
+    datasets: Tuple[str, ...] = ("sota", "sior", "fast")
+    # subset sizes drive the proportional batch split (ED/main_pretrain.py:233-269)
+    image_size: int = 224
+    batch_size: int = 96  # global
+    num_workers: int = 8
+    val_images: int = 500  # last-500 val split (ED/datasets.py:55-56)
+
+
+@dataclass
+class PretrainConfig(Config):
+    backbone: str = "vit_b_rvsa"
+    decoder: str = "upernet"
+    init: str = "none"  # none | imp | mae | beit ... pretrained-init family
+    total_iters: int = 80_000
+    eval_interval: int = 1000
+    seed: int = 2023
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    ckpt_dir: str = "checkpoints/pretrain"
+    resume: Optional[str] = None
+    mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh by default
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclass
+class FinetuneConfig(Config):
+    dataset: str = "potsdam"  # potsdam | vaihingen | isaid
+    backbone: str = "vit_b_rvsa"
+    decoder: str = "upernet"
+    epochs: int = 75
+    image_size: int = 512  # 512/512/896 per dataset (main_finetune.py:166-229)
+    batch_size: int = 8
+    seed: int = 2023
+    pretrained: Optional[str] = None  # SEP checkpoint
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    ckpt_dir: str = "checkpoints/finetune"
+
+
+@dataclass
+class GenerateConfig(Config):
+    """Dataset-generation driver config (GD/main_sam_*_semantic.py argparse)."""
+
+    dataset: str = "dior"  # dota | dior | hrsc | fair1m
+    sam_variant: str = "vit_h"
+    sam_checkpoint: Optional[str] = None
+    image_dir: str = ""
+    ann_dir: str = ""
+    save_dir: str = ""
+    box_batch: int = 64  # reference used 20 (main_sam_hbox_semantic.py:91); TPU prefers bigger
+    box_buckets: Tuple[int, ...] = (16, 64, 256, 1024)  # pad-to-bucket to bound recompiles
+    shard_index: int = 0  # this process's shard of the image worklist
+    shard_count: int = 1

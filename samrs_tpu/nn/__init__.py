@@ -1,0 +1,9 @@
+from samrs_tpu.nn.layers import (  # noqa: F401
+    LayerNorm2d,
+    MLPBlock,
+    MLP,
+    DropPath,
+    window_partition,
+    window_unpartition,
+    patchify_conv,
+)

@@ -1,0 +1,145 @@
+"""Shared neural-net building blocks (flax.linen, NHWC everywhere).
+
+TPU-first conventions:
+  * all image tensors are NHWC (XLA's native conv layout on TPU);
+  * matmul-heavy modules take a ``dtype`` compute dtype (bf16 for throughput)
+    while parameters stay fp32;
+  * window partitioning is pure reshape/transpose (free under XLA).
+
+Reference semantics: GD/segment_anything/modeling/common.py:13-43 (MLPBlock,
+LayerNorm2d), image_encoder.py:243-289 (window partition/unpartition),
+mask_decoder.py:179-201 (MLP).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class LayerNorm2d(nn.Module):
+    """Per-position LayerNorm over the channel axis of an NHWC tensor.
+
+    Equivalent to the reference's channels-first LayerNorm2d (common.py:31-43,
+    eps 1e-6) — in NHWC it reduces to a plain LayerNorm on the last axis.
+    """
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (x * scale + bias).astype(orig_dtype)
+
+
+class MLPBlock(nn.Module):
+    """lin -> act -> lin (common.py:13-28)."""
+
+    mlp_dim: int
+    act: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = self.act(x)
+        return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
+
+
+class MLP(nn.Module):
+    """num_layers Dense stack with ReLU between; optional sigmoid output.
+
+    Reference: mask_decoder.py:179-201 (hypernetwork / IoU-head MLP).
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        if self.sigmoid_output:
+            x = nn.sigmoid(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (used by the seg backbones)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: Optional[bool] = None) -> jnp.ndarray:
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Split NHWC into non-overlapping windows, zero-padding H/W up.
+
+    Returns (windows [B*nW, ws, ws, C], (Hp, Wp)).
+    Reference: image_encoder.py:243-265.
+    """
+    B, H, W, C = x.shape
+    pad_h = (-H) % window_size
+    pad_w = (-W) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window_size, window_size, Wp // window_size, window_size, C)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(
+    windows: jnp.ndarray, window_size: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse of :func:`window_partition`, cropping padding off.
+
+    Reference: image_encoder.py:267-289.
+    """
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp // window_size * Wp // window_size)
+    x = windows.reshape(B, Hp // window_size, Wp // window_size, window_size, window_size, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W, :]
+
+
+def patchify_conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray], patch: int
+) -> jnp.ndarray:
+    """16x16/stride-16 patch embedding as a conv (image_encoder.py:364-395)."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias
+    return y

@@ -1,0 +1,242 @@
+"""ViTDet-style SAM image encoder, TPU-first.
+
+Behavioral reference: GD/segment_anything/modeling/image_encoder.py
+  * 16x16 conv patch embed (:364-395)
+  * learned absolute pos-embed (:65-70)
+  * N transformer blocks, 14x14 window attention except the global layers (:72-86)
+  * decomposed relative position bias added to attention logits (:325-361)
+  * 2-conv neck to 256ch with LayerNorm2d (:88-104)
+
+TPU-first design notes:
+  * NHWC end to end; window partition is reshape/transpose (XLA-free).
+  * Attention runs all windows as one big batched matmul on the MXU
+    (B*num_windows, 196, C) — no per-window loops.
+  * Global-attention layers (4096 tokens) can route through the Pallas
+    flash-attention kernel with the decomposed rel-pos bias fused into the
+    inner loop (samrs_tpu.kernels.flash_attention); default path is plain XLA
+    einsum attention, numerically identical.
+  * Compute dtype configurable (bf16 matmuls); softmax + rel-pos in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from samrs_tpu.nn.layers import LayerNorm2d, MLPBlock, window_partition, window_unpartition
+
+Dtype = Any
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Relative positional embeddings for query/key sizes, with linear resize.
+
+    Mirrors image_encoder.py:292-322 (`get_rel_pos`): the (2*max-1, head_dim)
+    table is linearly interpolated when the stored length differs, then gathered
+    by relative coordinate.
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos.astype(jnp.float32), (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative.astype(jnp.int32)]
+
+
+def add_decomposed_rel_pos(
+    attn: jnp.ndarray,
+    q: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Add decomposed relative-position bias to attention logits.
+
+    attn: (B, q_h*q_w, k_h*k_w); q: (B, q_h*q_w, head_dim).
+    Mirrors image_encoder.py:325-361 (einsum bhwc,hkc->bhwk).
+    """
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w)
+    B, _, dim = q.shape
+    r_q = q.reshape(B, q_h, q_w, dim)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = attn.reshape(B, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(B, q_h * q_w, k_h * k_w)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional decomposed relative positions.
+
+    Reference: image_encoder.py:185-240.
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    input_size: Optional[Tuple[int, int]] = None  # (H, W) of tokens at init
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        # (B, H*W, 3, nH, hd) -> (3, B*nH, H*W, hd)
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if self.use_rel_pos:
+            assert self.input_size is not None
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim),
+                jnp.float32,
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim),
+                jnp.float32,
+            )
+        else:
+            rel_pos_h = rel_pos_w = None
+
+        if self.use_flash and self.use_rel_pos and not self.is_initializing():
+            from samrs_tpu.kernels.flash_attention import flash_attention_relpos
+
+            Rh = get_rel_pos(H, H, rel_pos_h)
+            Rw = get_rel_pos(W, W, rel_pos_w)
+            out = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale)
+        else:
+            attn = jnp.einsum(
+                "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(
+                    attn, q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W), (H, W)
+                )
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum(
+                "bqk,bkd->bqd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+        out = out.reshape(B, self.num_heads, H, W, head_dim)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(B, H, W, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
+
+
+class Block(nn.Module):
+    """Transformer block with optional window attention (image_encoder.py:119-183)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    window_size: int = 0  # 0 = global attention
+    input_size: Optional[Tuple[int, int]] = None
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        H, W = x.shape[1], x.shape[2]
+        if self.window_size > 0:
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+        x = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            use_rel_pos=self.use_rel_pos,
+            input_size=attn_size,
+            dtype=self.dtype,
+            use_flash=self.use_flash and self.window_size == 0,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM image encoder (image_encoder.py:17-117). NHWC in, NHWC out.
+
+    Input  (B, img_size, img_size, 3) preprocessed pixels.
+    Output (B, img_size/16, img_size/16, out_chans) neck features.
+    """
+
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    use_abs_pos: bool = True
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        if self.use_abs_pos:
+            pos_embed = self.param(
+                "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim), jnp.float32
+            )
+            x = x + pos_embed.astype(x.dtype)
+        for i in range(self.depth):
+            x = Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                use_rel_pos=self.use_rel_pos,
+                window_size=0 if i in self.global_attn_indexes else self.window_size,
+                input_size=(grid, grid),
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                name=f"blocks_{i}",
+            )(x)
+        # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(
+            self.out_chans, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+            name="neck_conv2",
+        )(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x

@@ -1,0 +1,121 @@
+"""SAM mask decoder.
+
+Behavioral reference: GD/segment_anything/modeling/mask_decoder.py
+  * IoU token + num_multimask+1 mask tokens prepended to sparse prompts (:126-129)
+  * image embedding broadcast per prompt batch (:136-138)
+  * TwoWayTransformer core; 2x ConvTranspose 4x upscale (:53-59)
+  * per-token hypernetwork MLPs dotted with the upscaled embedding (:156-167)
+  * IoU prediction MLP head (:67-69, :172)
+  * multimask slice 1: vs 0:1 (:102-107)
+
+TPU-first: the prompt-batch dimension is the leading batch dim, so decoding B
+prompt sets against one cached image embedding is a single batched call (the
+reference loops over images and repeat_interleaves; we broadcast).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from samrs_tpu.nn.layers import MLP, LayerNorm2d
+from samrs_tpu.sam.transformer import TwoWayTransformer
+
+Dtype = Any
+
+
+class MaskDecoder(nn.Module):
+    transformer_dim: int = 256
+    transformer_depth: int = 2
+    transformer_mlp_dim: int = 2048
+    transformer_num_heads: int = 8
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.num_mask_tokens = self.num_multimask_outputs + 1
+        self.iou_token = self.param(
+            "iou_token", nn.initializers.normal(1.0), (1, self.transformer_dim)
+        )
+        self.mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (self.num_mask_tokens, self.transformer_dim)
+        )
+        self.transformer = TwoWayTransformer(
+            depth=self.transformer_depth,
+            embedding_dim=self.transformer_dim,
+            num_heads=self.transformer_num_heads,
+            mlp_dim=self.transformer_mlp_dim,
+            dtype=self.dtype,
+        )
+        d = self.transformer_dim
+        self.upscale_conv1 = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), name="upscale_conv1")
+        self.upscale_ln = LayerNorm2d(name="upscale_ln")
+        self.upscale_conv2 = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), name="upscale_conv2")
+        self.output_hypernetworks_mlps = [
+            MLP(d, d // 8, 3, name=f"hyper_mlp_{i}") for i in range(self.num_mask_tokens)
+        ]
+        self.iou_prediction_head = MLP(
+            self.iou_head_hidden_dim, self.num_mask_tokens, self.iou_head_depth, name="iou_head"
+        )
+
+    def __call__(
+        self,
+        image_embeddings: jnp.ndarray,  # (1 or B, H, W, C)
+        image_pe: jnp.ndarray,  # (H, W, C)
+        sparse_prompt_embeddings: jnp.ndarray,  # (B, N, C)
+        dense_prompt_embeddings: jnp.ndarray,  # (B, H, W, C)
+        multimask_output: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (masks (B, M, 4H, 4W), iou_pred (B, M))."""
+        masks, iou_pred = self.predict_masks(
+            image_embeddings, image_pe, sparse_prompt_embeddings, dense_prompt_embeddings
+        )
+        sl = slice(1, None) if multimask_output else slice(0, 1)  # :102-107
+        return masks[:, sl], iou_pred[:, sl]
+
+    def predict_masks(
+        self,
+        image_embeddings: jnp.ndarray,
+        image_pe: jnp.ndarray,
+        sparse_prompt_embeddings: jnp.ndarray,
+        dense_prompt_embeddings: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B = sparse_prompt_embeddings.shape[0]
+        output_tokens = jnp.concatenate([self.iou_token, self.mask_tokens], axis=0)
+        output_tokens = jnp.broadcast_to(
+            output_tokens[None], (B, *output_tokens.shape)
+        )
+        tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
+
+        # broadcast image embedding across the prompt batch (:136-138 used
+        # repeat_interleave; a broadcast + add is fusion-friendly on TPU)
+        src = image_embeddings + dense_prompt_embeddings
+        h, w, c = src.shape[-3:]
+
+        hs, src = self.transformer(src, image_pe, tokens)
+        iou_token_out = hs[:, 0, :]
+        mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens, :]
+
+        src = src.reshape(B, h, w, c)
+        up = self.upscale_conv1(src)
+        up = self.upscale_ln(up)
+        up = nn.gelu(up)
+        up = self.upscale_conv2(up)
+        up = nn.gelu(up)  # (B, 4h, 4w, c/8)
+
+        hyper_in = jnp.stack(
+            [
+                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i, :])
+                for i in range(self.num_mask_tokens)
+            ],
+            axis=1,
+        )  # (B, M, c/8)
+        masks = jnp.einsum(
+            "bmc,bhwc->bmhw", hyper_in, up, preferred_element_type=jnp.float32
+        )
+        iou_pred = self.iou_prediction_head(iou_token_out)
+        return masks, iou_pred
