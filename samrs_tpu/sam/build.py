@@ -29,7 +29,7 @@ def init_sam_variables(model: Sam, seed: int = 0) -> Any:
     x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     pts = jnp.zeros((1, 2, 2), jnp.float32)
     lab = jnp.zeros((1, 2), jnp.int32)
-    return model.init(jax.random.PRNGKey(seed), x, pts, lab)
+    return model.init(jax.random.PRNGKey(seed), x, pts, lab, method=Sam.init_all)
 
 
 def build_sam(
@@ -61,7 +61,7 @@ def _abstract_variables(model: Sam):
     x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     pts = jnp.zeros((1, 2, 2), jnp.float32)
     lab = jnp.zeros((1, 2), jnp.int32)
-    return model.init(jax.random.PRNGKey(0), x, pts, lab)
+    return model.init(jax.random.PRNGKey(0), x, pts, lab, method=Sam.init_all)
 
 
 sam_model_registry = {

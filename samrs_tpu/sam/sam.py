@@ -147,3 +147,14 @@ class Sam(nn.Module):
         feats = self.encode_image(x)
         sparse, dense = self.prompt_encoder(points=points, labels=labels)
         return self.decode_masks(feats, sparse, dense, multimask_output)
+
+    def init_all(
+        self, x: jnp.ndarray, points: jnp.ndarray, labels: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Init-time entry that traces EVERY parameterized path (including the
+        mask-prompt downscaler, which `__call__` with masks=None skips)."""
+        feats = self.encode_image(x)
+        g = self.cfg.grid_size
+        m = jnp.zeros((points.shape[0], 4 * g, 4 * g, 1), jnp.float32)
+        sparse, dense = self.prompt_encoder(points=points, labels=labels, masks=m)
+        return self.decode_masks(feats, sparse, dense, False)

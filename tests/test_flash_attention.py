@@ -1,0 +1,78 @@
+"""Kernel-vs-oracle tests (the reference's ops/test.py pattern, SURVEY.md §4):
+Pallas flash attention in interpreter mode vs the pure-XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samrs_tpu.kernels.flash_attention import (
+    attention_relpos_xla,
+    flash_attention_relpos,
+)
+from samrs_tpu.sam.image_encoder import add_decomposed_rel_pos, get_rel_pos
+
+
+def _make_inputs(B, H, W, d, seed=0):
+    rng = np.random.default_rng(seed)
+    N = H * W
+    q = jnp.asarray(rng.normal(size=(B, N, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, d)), jnp.float32)
+    Rh = jnp.asarray(rng.normal(size=(H, H, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.normal(size=(W, W, d)) * 0.1, jnp.float32)
+    return q, k, v, Rh, Rw
+
+
+def test_xla_oracle_matches_naive_composition():
+    """attention_relpos_xla must equal einsum-attention + add_decomposed_rel_pos."""
+    B, H, W, d = 2, 8, 16, 8
+    q, k, v, Rh, Rw = _make_inputs(B, H, W, d)
+    scale = d**-0.5
+    N = H * W
+
+    # naive: logits + decomposed bias, softmax, weighted sum
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", q.reshape(B, H, W, d), Rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", q.reshape(B, H, W, d), Rw)
+    s = jnp.einsum("bqd,bkd->bqk", q * scale, k).reshape(B, N, H, W)
+    s = s + rel_h.reshape(B, N, H)[..., :, None] + rel_w.reshape(B, N, W)[..., None, :]
+    p = jax.nn.softmax(s.reshape(B, N, N), axis=-1)
+    expected = jnp.einsum("bqk,bkd->bqd", p, v)
+
+    got = attention_relpos_xla(
+        q, k, v, rel_h.reshape(B, N, H), rel_w.reshape(B, N, W), scale
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+@pytest.mark.parametrize("B,H,W,d", [(1, 16, 16, 8), (2, 8, 32, 16)])
+def test_pallas_flash_matches_oracle_interpret(B, H, W, d):
+    q, k, v, Rh, Rw = _make_inputs(B, H, W, d, seed=1)
+    scale = d**-0.5
+    ref = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale, force_xla=True)
+    got = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_gradients_flow():
+    """custom_vjp backward (XLA recompute) must produce finite grads."""
+    B, H, W, d = 1, 8, 16, 8
+    q, k, v, Rh, Rw = _make_inputs(B, H, W, d, seed=2)
+    scale = d**-0.5
+
+    def loss(q, k, v):
+        out = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale, force_xla=True)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_get_rel_pos_interpolation():
+    """Table resize when stored length != 2*size-1 (image_encoder.py:292-322)."""
+    rel = jnp.asarray(np.random.default_rng(3).normal(size=(15, 4)), jnp.float32)
+    out_same = get_rel_pos(8, 8, rel)
+    assert out_same.shape == (8, 8, 4)
+    out_resized = get_rel_pos(4, 4, rel)  # needs length 7 -> interpolates
+    assert out_resized.shape == (4, 4, 4)
