@@ -10,8 +10,18 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import typing
 from dataclasses import dataclass, field, fields, is_dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+def field_types(cls) -> Dict[str, Any]:
+    """Resolved (non-string) field annotations of a dataclass.
+
+    `from __future__ import annotations` stringifies `dataclasses.fields(...)
+    .type`, so CLI coercion must go through get_type_hints.
+    """
+    return typing.get_type_hints(cls)
 
 
 def _coerce(value: str, typ: Any) -> Any:
@@ -73,7 +83,7 @@ class Config:
             for k in keys[:-1]:
                 objs.append(getattr(objs[-1], k))
             leaf_owner, leaf = objs[-1], keys[-1]
-            ftypes = {f.name: f.type for f in fields(leaf_owner)}
+            ftypes = field_types(type(leaf_owner))
             if leaf not in ftypes:
                 raise KeyError(f"unknown config field {path!r}")
             new_val = _coerce(value, ftypes[leaf])

@@ -47,7 +47,7 @@ def load_dior(img_name: str, ann_path: str) -> Annotation:
     for obj in tree.getroot().findall("object"):
         category = str(obj.find("name").text.lower())
         bnd = obj.find("bndbox")
-        if not bnd:
+        if bnd is None:
             bnd = obj.find("robndbox")
         x0, y0 = float(bnd.find("xmin").text), float(bnd.find("ymin").text)
         x1, y1 = float(bnd.find("xmax").text), float(bnd.find("ymax").text)

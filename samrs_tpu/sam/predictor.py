@@ -183,6 +183,31 @@ class SamPredictor:
         )
         return np.asarray(out[:n]), np.asarray(iou[:n]), np.asarray(low_res[:n])
 
+    def predict_boxes_lowres(self, boxes: np.ndarray, multimask_output: bool = False):
+        """Device-resident batched decode: (N,4) xyxy -> (low_res (Nb,M,g4,g4),
+        iou (Nb,M)) jax arrays, Nb = bucket-padded N.  The generation pipeline
+        keeps these on device and post-processes in fixed-size chunks."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        n = boxes.shape[0]
+        nb = _bucket(n, self.buckets)
+        tb = self.transform.apply_boxes(boxes, self.original_size).reshape(-1, 2, 2)
+        pts = np.zeros((nb, 2, 2), np.float32)
+        labs = np.full((nb, 2), -1, np.int32)
+        pts[:n] = tb
+        labs[:n, 0] = 2
+        labs[:n, 1] = 3
+        return self._decode(
+            self.variables, self.features, jnp.asarray(pts), jnp.asarray(labs), None,
+            multimask_output,
+        )
+
+    def upscale_chunk(self, low_res_chunk, binarize: bool = True):
+        """(C, M, g4, g4) low-res logits -> (C, M, *original_size) on device."""
+        return self._postprocess(
+            low_res_chunk, tuple(self.input_size), tuple(self.original_size), binarize
+        )
+
     # ------------------------------------------------------------- internals
 
     def _prompts_to_points(
