@@ -1,0 +1,103 @@
+"""Plain ViT-B segmentation backbone.
+
+Behavioral reference: ED/backbone/vit.py:184-388 — timm-style ViT (full
+attention in every block, abs pos-embed optional), final LayerNorm, then the
+4-branch FPN neck applied to the LAST feature map (x4 up / x2 up / identity /
+2x maxpool).  out_channels (3, D, D, D, D) (vit.py:252).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from samrs_tpu.nn.layers import DropPath, MLPBlock
+from samrs_tpu.seg.backbones.vit_common import ViTFPNNeck
+
+Dtype = Any
+
+
+class PlainAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, H, W, _ = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum(
+            "bnqd,bnkd->bnqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bnqk,bnkd->bnqd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTSeg(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    use_abs_pos_emb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        return (3, self.embed_dim, self.embed_dim, self.embed_dim, self.embed_dim)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
+        img = x
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        Hp, Wp = x.shape[1], x.shape[2]
+        if self.use_abs_pos_emb:
+            gp = self.img_size // self.patch_size
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02), (1, gp * gp, self.embed_dim)
+            )
+            pos2d = pos.reshape(1, gp, gp, self.embed_dim)
+            if (gp, gp) != (Hp, Wp):
+                pos2d = jax.image.resize(pos2d, (1, Hp, Wp, self.embed_dim), "bicubic")
+            x = x + pos2d.astype(x.dtype)
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm1")(x)
+            y = PlainAttention(
+                self.embed_dim, self.num_heads, dtype=self.dtype, name=f"blocks_{i}_attn"
+            )(y)
+            x = x + DropPath(float(dpr[i]), name=f"blocks_{i}_dp1")(y, not train)
+            y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm2")(x)
+            y = MLPBlock(int(self.embed_dim * self.mlp_ratio), dtype=self.dtype,
+                         name=f"blocks_{i}_mlp")(y)
+            x = x + DropPath(float(dpr[i]), name=f"blocks_{i}_dp2")(y, not train)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        c1, c2, c3, c4 = ViTFPNNeck(self.embed_dim, dtype=self.dtype, name="neck")(
+            [x, x, x, x]
+        )
+        return [img, c1, c2, c3, c4]
+
+
+def vit_b(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> ViTSeg:
+    kw.setdefault("embed_dim", 768)
+    kw.setdefault("depth", 12)
+    kw.setdefault("num_heads", 12)
+    return ViTSeg(img_size=image_size, dtype=dtype, **kw)
