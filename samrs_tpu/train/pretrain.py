@@ -1,0 +1,242 @@
+"""SEP multi-dataset segmentation pretraining driver (GSPMD data parallel).
+
+Behavioral reference: ED/main_pretrain.py —
+  * three SegmentationDatasets (SOTA/SIOR/FAST) with PROPORTIONAL per-dataset
+    batch sizes by subset size 17480/11725/64147 (:233-269)
+  * summed CE(ignore 255) over the three heads, grad-clip 5, per-iteration
+    cosine schedule (:567-625, :656)
+  * validation every eval_interval iters on last-500 splits, best+last
+    checkpoints incl. encoder-only (:631-687)
+
+TPU-native: one process per host, `jax.distributed.initialize` when multi-host;
+the global batch is sharded over the `data` mesh axis; XLA inserts the grad
+all-reduce and global BatchNorm; loaders shard by `jax.process_index()`.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samrs_tpu.core.checkpoint import load_train_state, save_train_state
+from samrs_tpu.core.config import PretrainConfig
+from samrs_tpu.core.mesh import MeshSpec, make_mesh, data_sharding, replicated
+from samrs_tpu.core.metrics import segmentation_scores
+from samrs_tpu.data.datasets import DataLoader, SegmentationDataset, infinite_loader
+from samrs_tpu.data.transforms import EvalAugment, TrainAugment
+from samrs_tpu.seg.frameworks import MultiHeadSegModel
+from samrs_tpu.train.optim import build_optimizer, warmup_cosine_schedule
+from samrs_tpu.train.trainer import TrainState, make_eval_step, make_pretrain_step
+
+logger = logging.getLogger("samrs_tpu.pretrain")
+
+# subset sizes drive the proportional split (ED/main_pretrain.py:233-242)
+DATASET_SIZES = {"sota": 17480, "sior": 11725, "fast": 64147}
+DATASET_CLASSES = {"sota": 18, "sior": 20, "fast": 37}
+
+# conventional layout under data.root (ED/main_pretrain.py:189-204, made
+# configurable instead of hard-coded)
+DATASET_LAYOUT = {
+    "sota": ("dotav2_1024/trainval", "images", "hbox_segs_init/gray", ".png"),
+    "sior": ("dior", "JPEGImages-trainval", "hbox_segs_trainvaltest_init/gray", ".jpg"),
+    "fast": ("fair1m_1024/trainval", "images", "rhbox_segs_init/gray", ".png"),
+}
+
+
+def proportional_batch_sizes(datasets: Sequence[str], global_batch: int) -> Dict[str, int]:
+    """Split the global batch proportionally to subset sizes (:245-269)."""
+    total = sum(DATASET_SIZES[d] for d in datasets)
+    out = {}
+    for d in datasets:
+        out[d] = max(1, int(global_batch * DATASET_SIZES[d] / total))
+    return out
+
+
+def build_datasets(cfg: PretrainConfig, split: str):
+    aug = (
+        TrainAugment(size=cfg.data.image_size, rng=np.random.default_rng(cfg.seed))
+        if split == "trn"
+        else EvalAugment(size=cfg.data.image_size)
+    )
+    out = {}
+    for name in cfg.data.datasets:
+        sub, img_dir, lbl_dir, ext = DATASET_LAYOUT[name]
+        root = os.path.join(cfg.data.root, sub)
+        out[name] = SegmentationDataset(
+            root=root,
+            image_path=os.path.join(root, img_dir),
+            label_path=os.path.join(root, lbl_dir),
+            ext_img=ext,
+            split=split,
+            transform=aug,
+            val_images=cfg.data.val_images,
+        )
+    return out
+
+
+def run_pretrain(
+    cfg: PretrainConfig,
+    model: Optional[MultiHeadSegModel] = None,
+    datasets_trn=None,
+    datasets_val=None,
+    max_iters: Optional[int] = None,
+) -> TrainState:
+    """Driver body.  Datasets/model injectable for tests."""
+    num_classes = tuple(DATASET_CLASSES[d] for d in cfg.data.datasets)
+    if model is None:
+        model = MultiHeadSegModel(
+            backbone=cfg.backbone,
+            decoder=cfg.decoder,
+            num_classes=num_classes,
+            image_size=cfg.data.image_size,
+        )
+    if datasets_trn is None:
+        datasets_trn = build_datasets(cfg, "trn")
+    if datasets_val is None:
+        datasets_val = build_datasets(cfg, "val")
+
+    mesh = make_mesh(MeshSpec(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes)))
+    repl = replicated(mesh)
+    dsh = data_sharding(mesh)
+
+    bsizes = proportional_batch_sizes(cfg.data.datasets, cfg.data.batch_size)
+    n_dev = mesh.size
+    # per-dataset batch must divide the data axis for even sharding
+    bsizes = {k: max(n_dev, (v // n_dev) * n_dev) for k, v in bsizes.items()}
+    logger.info("per-dataset batch sizes: %s (on %d devices)", bsizes, n_dev)
+
+    loaders = [
+        infinite_loader(
+            DataLoader(
+                datasets_trn[name],
+                batch_size=bsizes[name] // jax.process_count(),
+                seed=cfg.seed,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                num_threads=cfg.data.num_workers,
+            )
+        )
+        for name in cfg.data.datasets
+    ]
+
+    # init
+    rngs = {"params": jax.random.PRNGKey(cfg.seed), "dropout": jax.random.PRNGKey(cfg.seed + 1)}
+    xs_init = [
+        jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3), jnp.float32)
+        for _ in cfg.data.datasets
+    ]
+    variables = model.init(rngs, xs_init, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    sched = warmup_cosine_schedule(
+        cfg.optim.lr, cfg.total_iters, cfg.optim.warmup_iters, cfg.optim.min_lr_ratio
+    )
+    depth = {"vit_b_rvsa": 12, "vit_b": 12, "vit_l_rvsa": 24}.get(cfg.backbone, 12)
+    tx = build_optimizer(
+        params,
+        sched,
+        weight_decay=cfg.optim.weight_decay,
+        betas=tuple(cfg.optim.betas),
+        grad_clip=cfg.optim.grad_clip,
+        layer_decay=cfg.optim.layer_decay,
+        num_layers=depth,
+        optimizer=cfg.optim.optimizer,
+    )
+    state = TrainState.create(params, batch_stats, tx)
+    start_meta = {}
+    if cfg.resume:
+        state, start_meta = load_train_state(cfg.ckpt_dir, state, tag=cfg.resume)
+        logger.info("resumed from %s at step %d", cfg.resume, int(state.step))
+    state = jax.device_put(state, repl)
+
+    train_step = make_pretrain_step(model, tx)
+    eval_steps = [
+        make_eval_step(model, nc, head_idx=i) for i, nc in enumerate(num_classes)
+    ]
+    dropout_rng = jax.random.PRNGKey(cfg.seed + 2)
+
+    best_miou = float(start_meta.get("best_miou", -1.0))
+    total = max_iters if max_iters is not None else cfg.total_iters
+    t0 = time.perf_counter()
+    it = int(state.step)
+    while it < total:
+        batches = []
+        for ld in loaders:
+            x, y = next(ld)
+            batches.append(
+                (jax.device_put(x, dsh), jax.device_put(y, dsh))
+            )
+        state, metrics = train_step(state, tuple(batches), dropout_rng)
+        it += 1
+        if it % 50 == 0 or it == total:
+            loss = float(metrics["loss"])
+            dt = (time.perf_counter() - t0) / min(it, 50)
+            t0 = time.perf_counter()
+            logger.info(
+                "iter %d/%d loss %.4f lr %.2e %.3fs/it", it, total, loss,
+                float(sched(it)), dt,
+            )
+        if it % cfg.eval_interval == 0 or it == total:
+            miou = evaluate(
+                cfg, model, state, datasets_val, eval_steps, num_classes, dsh
+            )
+            if jax.process_index() == 0:
+                save_train_state(cfg.ckpt_dir, state, "last", {"best_miou": best_miou})
+                if miou > best_miou:
+                    best_miou = miou
+                    save_train_state(cfg.ckpt_dir, state, "best", {"best_miou": best_miou})
+            logger.info("iter %d eval mIoU %.4f (best %.4f)", it, miou, best_miou)
+    return state
+
+
+def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> float:
+    """Mean of per-dataset mIoUs on the val splits (main_pretrain.py:463-556)."""
+    mious = []
+    for i, name in enumerate(cfg.data.datasets):
+        nc = num_classes[i]
+        inter = np.zeros(nc)
+        target = np.zeros(nc)
+        union = np.zeros(nc)
+        loader = DataLoader(
+            datasets_val[name],
+            batch_size=max(jax.device_count(), 8),
+            shuffle=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            drop_last=True,
+        )
+        for x, y in loader:
+            iu = eval_steps[i](state.params, state.batch_stats,
+                               jax.device_put(x, dsh), jax.device_put(y, dsh))
+            inter += np.asarray(iu[0])
+            target += np.asarray(iu[1])
+            union += np.asarray(iu[2])
+        scores = segmentation_scores(inter, target, union)
+        logger.info("val[%s]: mIoU %.4f allAcc %.4f", name, scores["miou"], scores["all_acc"])
+        mious.append(scores["miou"])
+    return float(np.mean(mious)) if mious else 0.0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="SAMRS segmentation pretraining (SEP)")
+    p.add_argument("overrides", nargs="*", help="config overrides key=value")
+    p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    a = p.parse_args(argv)
+    if a.multihost:
+        jax.distributed.initialize()
+    logging.basicConfig(level=logging.INFO)
+    cfg = PretrainConfig().override(a.overrides)
+    run_pretrain(cfg)
+
+
+if __name__ == "__main__":
+    main()
