@@ -46,7 +46,10 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
     labs = jnp.tile(jnp.asarray([[2, 3]], jnp.int32), (n_boxes, 1))
 
     @jax.jit
-    def step(variables, img, pts, labs):
+    def step(carry, variables, img, pts, labs):
+        # carry feeds the image so every iteration is a distinct, unelidable
+        # execution even through result-caching/async transports
+        img = img + carry * 1e-12
         feats = model.apply(variables, img, method=Sam.encode_image)
         low_res, iou = model.apply(
             variables, feats, pts, labs, None, False, method=Sam.predict
@@ -55,16 +58,18 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
             low_res, (cfg.image_size, cfg.image_size), (cfg.image_size, cfg.image_size),
             cfg.image_size,
         )
-        return (masks > cfg.mask_threshold), iou
+        masks = masks > cfg.mask_threshold
+        return carry + masks.sum() + iou.sum(), masks
 
-    # warmup/compile
-    m, _ = step(variables, img, pts, labs)
-    m.block_until_ready()
+    # warmup/compile (host fetch = the only reliable sync on remote transports)
+    carry, _ = step(jnp.float32(0), variables, img, pts, labs)
+    float(carry)
 
     t0 = time.perf_counter()
+    carry = jnp.float32(0)
     for _ in range(iters):
-        m, iou = step(variables, img, pts, labs)
-    m.block_until_ready()
+        carry, m = step(carry, variables, img, pts, labs)
+    float(carry)  # forces completion of the whole chain
     dt = (time.perf_counter() - t0) / iters
 
     img_per_s = 1.0 / dt

@@ -49,15 +49,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale, kh, kw):
     q = q_ref[0].astype(jnp.float32)  # (TQ, d)
     k = k_ref[0]  # (N, d)
     v = v_ref[0]
+    n = kh * kw
     s = jax.lax.dot_general(
         (q * scale).astype(k.dtype),
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TQ, N)
-    s = s.reshape(TQ, kh, kw)
-    s = s + rh_ref[0][:, :, None] + rw_ref[0][:, None, :]
-    s = s.reshape(TQ, kh * kw)
+    # decomposed rel-pos bias WITHOUT lane reshapes (Mosaic rejects
+    # (TQ, N)->(TQ, kh, kw)): bias = rel_h @ Eh + rel_w @ Ew where
+    # Eh[i, col] = [col // kw == i], Ew[j, col] = [col % kw == j] — two small
+    # 0/1 expansion matmuls that ride the MXU.
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)
+    eh = (col // kw == row_h).astype(jnp.float32)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
+    ew = (col_w % kw == row_w).astype(jnp.float32)
+    s = s + jax.lax.dot_general(
+        rh_ref[0], eh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + jax.lax.dot_general(
+        rw_ref[0], ew, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
