@@ -1,0 +1,277 @@
+"""ViT-Adapter-B backbone: plain ViT + spatial prior + deformable interactions.
+
+Behavioral reference: ED/backbone/vit_adapter.py
+  * TIMM ViT core (:522) with abs pos-embed, full attention
+  * SpatialPriorModule conv pyramid -> c1(s4)/c2(s8)/c3(s16)/c4(s32) projected
+    to embed dim (:246)
+  * Injector (multi-scale conv features -> ViT tokens) and Extractor (ViT
+    tokens -> conv features) cross-attention via MSDeformAttn (:101-164),
+    InteractionBlock x4 over the 12 ViT blocks (:166)
+  * deform_inputs reference points over the level grids (:24-59)
+  * add_vit_feature: final ViT map added to every scale; c1 += up(c2) (:690+)
+  * out_channels (3, 768, 768, 768, 768) (:682)
+
+The MSDeformAttn module mirrors ops/modules/ms_deform_attn.py:28 (value proj,
+per-query offset/weight linears with the rotated-grid bias init, softmax over
+levels*points) on top of the TPU gather op samrs_tpu.kernels.sampling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from samrs_tpu.kernels.sampling import ms_deform_attn
+from samrs_tpu.nn.layers import DropPath, MLPBlock
+from samrs_tpu.seg.backbones.vit import PlainAttention
+
+Dtype = Any
+
+
+def _grid_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Rotated-unit-grid bias init for sampling offsets
+    (ms_deform_attn.py _reset_parameters)."""
+    thetas = np.arange(n_heads) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (nH, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MSDeformAttnModule(nn.Module):
+    d_model: int = 768
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    ratio: float = 1.0  # value-dim reduction ratio (vit_adapter uses 0.5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        reference_points: jnp.ndarray,  # (B, Q, L, 2) in [0, 1]
+        value: jnp.ndarray,  # (B, S, C)
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        S = value.shape[1]
+        nH, L, P = self.n_heads, self.n_levels, self.n_points
+        vdim = int(C * self.ratio)
+        hd = vdim // nH
+
+        v = nn.Dense(vdim, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(B, S, nH, hd)
+        offsets = nn.Dense(
+            nH * L * P * 2, dtype=jnp.float32, name="sampling_offsets",
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: jnp.asarray(_grid_init(nH, L, P)),
+        )(query).reshape(B, Q, nH, L, P, 2)
+        weights = nn.Dense(
+            nH * L * P, dtype=jnp.float32, name="attention_weights",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(query).reshape(B, Q, nH, L * P)
+        weights = nn.softmax(weights, axis=-1).reshape(B, Q, nH, L, P)
+
+        wh = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # (L, 2) xy
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / wh[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(
+            out.astype(self.dtype)
+        )
+
+
+def _ref_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
+    """Normalized center points of every location across levels -> (1, S, 2)."""
+    pts = []
+    for h, w in spatial_shapes:
+        ys = (jnp.arange(h, dtype=dtype) + 0.5) / h
+        xs = (jnp.arange(w, dtype=dtype) + 0.5) / w
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+    return jnp.concatenate(pts, axis=0)[None]
+
+
+class SpatialPriorModule(nn.Module):
+    """Conv pyramid prior (vit_adapter.py:246-320)."""
+
+    inplanes: int = 64
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        def conv_bn_relu(x, ch, stride, name):
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+                        use_bias=False, dtype=self.dtype, name=name)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=name + "_bn")(x)
+            return nn.relu(x)
+
+        # stem: 3 convs + maxpool -> stride 4
+        s = conv_bn_relu(x, self.inplanes, 2, "stem1")
+        s = conv_bn_relu(s, self.inplanes, 1, "stem2")
+        s = conv_bn_relu(s, self.inplanes, 1, "stem3")
+        s = nn.max_pool(s, (2, 2), strides=(2, 2))
+        c1 = s
+        c2 = conv_bn_relu(c1, 2 * self.inplanes, 2, "conv2")
+        c3 = conv_bn_relu(c2, 4 * self.inplanes, 2, "conv3")
+        c4 = conv_bn_relu(c3, 4 * self.inplanes, 2, "conv4")
+        fc = lambda t, name: nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name=name)(t)
+        return fc(c1, "fc1"), fc(c2, "fc2"), fc(c3, "fc3"), fc(c4, "fc4")
+
+
+class ConvFFN(nn.Module):
+    """FFN with a 3x3 depthwise conv on the multi-scale token stack
+    (vit_adapter.py Extractor ffn)."""
+
+    hidden: int
+    spatial_shapes: Sequence[Tuple[int, int]]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, S, C = x.shape
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        # depthwise conv per level
+        parts = []
+        start = 0
+        for h, w in self.spatial_shapes:
+            seg = y[:, start : start + h * w].reshape(B, h, w, self.hidden)
+            seg = nn.Conv(self.hidden, (3, 3), padding="SAME",
+                          feature_group_count=self.hidden, dtype=self.dtype,
+                          name=f"dw_{h}x{w}")(seg)
+            parts.append(seg.reshape(B, h * w, self.hidden))
+            start += h * w
+        y = jnp.concatenate(parts, axis=1)
+        y = nn.gelu(y)
+        return nn.Dense(C, dtype=self.dtype, name="fc2")(y)
+
+
+class ViTAdapter(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    interaction_indexes: Tuple[Tuple[int, int], ...] = ((0, 2), (3, 5), (6, 8), (9, 11))
+    deform_num_heads: int = 12
+    n_points: int = 4
+    deform_ratio: float = 0.5
+    drop_path_rate: float = 0.1
+    add_vit_feature: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        return (3, self.embed_dim, self.embed_dim, self.embed_dim, self.embed_dim)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
+        img = x
+        B = x.shape[0]
+        D = self.embed_dim
+
+        # spatial prior
+        c1, c2, c3, c4 = SpatialPriorModule(64, D, dtype=self.dtype, name="spm")(x, train)
+        shapes_c = [c2.shape[1:3], c3.shape[1:3], c4.shape[1:3]]
+        c = jnp.concatenate(
+            [c2.reshape(B, -1, D), c3.reshape(B, -1, D), c4.reshape(B, -1, D)], axis=1
+        )
+
+        # ViT patch embed
+        t = nn.Conv(D, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        Hp, Wp = t.shape[1], t.shape[2]
+        gp = self.img_size // self.patch_size
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, gp * gp, D))
+        pos2d = pos.reshape(1, gp, gp, D)
+        if (gp, gp) != (Hp, Wp):
+            pos2d = jax.image.resize(pos2d, (1, Hp, Wp, D), "bicubic")
+        t = t + pos2d.astype(t.dtype)
+        shapes_x = [(Hp, Wp)]
+
+        ref_x = jnp.broadcast_to(_ref_points(shapes_x), (B, Hp * Wp, 2))[:, :, None, :]
+        ref_x3 = jnp.broadcast_to(ref_x, (B, Hp * Wp, 3, 2))
+        ref_c = jnp.broadcast_to(_ref_points(shapes_c), (B, c.shape[1], 2))[:, :, None, :]
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        t = t.reshape(B, Hp * Wp, D)
+        for ib, (lo, hi) in enumerate(self.interaction_indexes):
+            # Injector: conv features -> ViT tokens
+            gamma = self.param(f"injector{ib}_gamma", nn.initializers.zeros, (D,))
+            inj = MSDeformAttnModule(
+                D, 3, self.deform_num_heads, self.n_points, self.deform_ratio,
+                dtype=self.dtype, name=f"injector{ib}",
+            )(
+                nn.LayerNorm(epsilon=1e-6, name=f"injector{ib}_qnorm")(t),
+                ref_x3,
+                nn.LayerNorm(epsilon=1e-6, name=f"injector{ib}_vnorm")(c),
+                shapes_c,
+            )
+            t = t + gamma * inj
+            # ViT blocks of this group
+            t2d = t.reshape(B, Hp, Wp, D)
+            for i in range(lo, hi + 1):
+                y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm1")(t2d)
+                y = PlainAttention(D, self.num_heads, dtype=self.dtype,
+                                   name=f"blocks_{i}_attn")(y)
+                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp1")(y, not train)
+                y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm2")(t2d)
+                y = MLPBlock(int(D * self.mlp_ratio), dtype=self.dtype,
+                             name=f"blocks_{i}_mlp")(y)
+                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp2")(y, not train)
+            t = t2d.reshape(B, Hp * Wp, D)
+            # Extractor: ViT tokens -> conv features (+ ConvFFN)
+            ext = MSDeformAttnModule(
+                D, 1, self.deform_num_heads, self.n_points, self.deform_ratio,
+                dtype=self.dtype, name=f"extractor{ib}",
+            )(
+                nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_qnorm")(c),
+                ref_c,
+                nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_vnorm")(t),
+                shapes_x,
+            )
+            c = c + ext
+            c = c + ConvFFN(
+                int(D * 0.25 * 4), shapes_c, dtype=self.dtype, name=f"extractor{ib}_ffn"
+            )(nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_fnorm")(c))
+
+        # split + reshape the conv branch
+        (h2, w2), (h3, w3), (h4, w4) = shapes_c
+        n2, n3 = h2 * w2, h3 * w3
+        f2 = c[:, :n2].reshape(B, h2, w2, D)
+        f3 = c[:, n2 : n2 + n3].reshape(B, h3, w3, D)
+        f4 = c[:, n2 + n3 :].reshape(B, h4, w4, D)
+        f1 = c1 + nn.ConvTranspose(D, (2, 2), strides=(2, 2), dtype=self.dtype,
+                                   name="up")(f2)
+        if self.add_vit_feature:
+            xf = t.reshape(B, Hp, Wp, D).astype(jnp.float32)
+            f1 = f1 + jax.image.resize(xf, f1.shape, "bilinear").astype(f1.dtype)
+            f2 = f2 + jax.image.resize(xf, f2.shape, "bilinear").astype(f2.dtype)
+            f3 = f3 + jax.image.resize(xf, f3.shape, "bilinear").astype(f3.dtype)
+            f4 = f4 + jax.image.resize(xf, f4.shape, "bilinear").astype(f4.dtype)
+        f1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(f1)
+        f2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(f2)
+        f3 = nn.LayerNorm(epsilon=1e-6, name="norm3")(f3)
+        f4 = nn.LayerNorm(epsilon=1e-6, name="norm4")(f4)
+        return [img, f1, f2, f3, f4]
+
+
+def vit_adapter_b(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> ViTAdapter:
+    defaults = dict(patch_size=16, embed_dim=768, depth=12, num_heads=12,
+                    deform_num_heads=12, n_points=4, deform_ratio=0.5)
+    defaults.update(kw)
+    return ViTAdapter(img_size=image_size, dtype=dtype, **defaults)
