@@ -22,6 +22,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
@@ -88,7 +89,8 @@ def ms_deform_attn(
     B, S, nH, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     splits = [h * w for h, w in spatial_shapes]
-    values = jnp.split(value, jnp.cumsum(jnp.array(splits))[:-1].tolist(), axis=1)
+    split_pts = list(np.cumsum(splits)[:-1])  # static (host) — jit-safe
+    values = jnp.split(value, split_pts, axis=1)
     out = jnp.zeros((B, Q, nH, D), value.dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         # (B, h*w, nH, D) -> (B*nH, h, w, D)

@@ -77,6 +77,45 @@ class MultiHeadSegModel(nn.Module):
         return self.encoder(x, train=train)
 
 
+class MultiHeadMask2FormerModel(nn.Module):
+    """E2E variant: shared encoder + decoupled Mask2Former decoder with
+    per-dataset classification heads (E2E/models.py:219-276).
+
+    __call__ returns per-dataset lists of (cls_logits, mask_logits) per
+    decoder layer, consumed by mask2former_loss / mask2former_predict."""
+
+    backbone: str = "vit_b_rvsa"
+    num_classes: Tuple[int, ...] = (18, 20, 37)
+    image_size: int = 224
+    num_queries: int = 100
+    num_decoder_layers: int = 9
+    dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        from samrs_tpu.seg.decoders.mask2former import Mask2FormerDecoder, Mask2FormerHead
+
+        self.encoder = get_backbone(self.backbone, image_size=self.image_size, dtype=self.dtype)
+        self.seg_decoder = Mask2FormerDecoder(
+            in_channels=tuple(self.encoder.out_channels[1:]),
+            num_queries=self.num_queries,
+            num_decoder_layers=self.num_decoder_layers,
+            dtype=self.dtype,
+        )
+        self.heads = [
+            Mask2FormerHead(nc, name=f"head_{i}") for i, nc in enumerate(self.num_classes)
+        ]
+
+    def forward_one(self, x: jnp.ndarray, head_idx: int, train: bool = False):
+        feats = self.encoder(x, train=train)
+        outs = self.seg_decoder(feats, train=train)
+        return self.heads[head_idx](outs)
+
+    def __call__(self, xs: Sequence[Optional[jnp.ndarray]], train: bool = False):
+        return [
+            None if x is None else self.forward_one(x, i, train) for i, x in enumerate(xs)
+        ]
+
+
 class SegModel(nn.Module):
     """Single-head model (finetune/test; ED/models.py:319-530)."""
 

@@ -89,13 +89,23 @@ def run_pretrain(
 ) -> TrainState:
     """Driver body.  Datasets/model injectable for tests."""
     num_classes = tuple(DATASET_CLASSES[d] for d in cfg.data.datasets)
+    is_m2f = cfg.decoder == "mask2former"
     if model is None:
-        model = MultiHeadSegModel(
-            backbone=cfg.backbone,
-            decoder=cfg.decoder,
-            num_classes=num_classes,
-            image_size=cfg.data.image_size,
-        )
+        if is_m2f:
+            from samrs_tpu.seg.frameworks import MultiHeadMask2FormerModel
+
+            model = MultiHeadMask2FormerModel(
+                backbone=cfg.backbone,
+                num_classes=num_classes,
+                image_size=cfg.data.image_size,
+            )
+        else:
+            model = MultiHeadSegModel(
+                backbone=cfg.backbone,
+                decoder=cfg.decoder,
+                num_classes=num_classes,
+                image_size=cfg.data.image_size,
+            )
     if datasets_trn is None:
         datasets_trn = build_datasets(cfg, "trn")
     if datasets_val is None:
@@ -156,10 +166,18 @@ def run_pretrain(
         logger.info("resumed from %s at step %d", cfg.resume, int(state.step))
     state = jax.device_put(state, repl)
 
-    train_step = make_pretrain_step(model, tx)
-    eval_steps = [
-        make_eval_step(model, nc, head_idx=i) for i, nc in enumerate(num_classes)
-    ]
+    if is_m2f:
+        from samrs_tpu.train.trainer import make_pretrain_step_mask2former
+
+        train_step = make_pretrain_step_mask2former(model, tx, num_classes)
+        eval_steps = [
+            _make_m2f_eval_step(model, nc, head_idx=i) for i, nc in enumerate(num_classes)
+        ]
+    else:
+        train_step = make_pretrain_step(model, tx)
+        eval_steps = [
+            make_eval_step(model, nc, head_idx=i) for i, nc in enumerate(num_classes)
+        ]
     dropout_rng = jax.random.PRNGKey(cfg.seed + 2)
 
     best_miou = float(start_meta.get("best_miou", -1.0))
@@ -194,6 +212,29 @@ def run_pretrain(
                     save_train_state(cfg.ckpt_dir, state, "best", {"best_miou": best_miou})
             logger.info("iter %d eval mIoU %.4f (best %.4f)", it, miou, best_miou)
     return state
+
+
+def _make_m2f_eval_step(model, num_classes: int, head_idx: int):
+    """Eval step for the Mask2Former variant: semantic logits via
+    softmax(cls).sigmoid(mask), upsampled to label resolution."""
+    import jax as _jax
+
+    from samrs_tpu.core.metrics import intersection_and_union
+    from samrs_tpu.seg.decoders.mask2former import mask2former_predict
+
+    @_jax.jit
+    def eval_step(params, batch_stats, x, y):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs = model.apply(variables, x, head_idx, False, method=type(model).forward_one)
+        cls_logits, mask_logits = outs[-1]
+        seg = mask2former_predict(cls_logits, mask_logits, num_classes)
+        seg = _jax.image.resize(
+            seg, (seg.shape[0], y.shape[1], y.shape[2], seg.shape[-1]), "bilinear"
+        )
+        pred = jnp.argmax(seg, axis=-1)
+        return intersection_and_union(pred, y, num_classes)
+
+    return eval_step
 
 
 def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> float:

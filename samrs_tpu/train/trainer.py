@@ -83,6 +83,42 @@ def make_pretrain_step(model, tx) -> Callable:
     return train_step
 
 
+def make_pretrain_step_mask2former(model, tx, num_classes: Sequence[int]) -> Callable:
+    """E2E variant: per-dataset Mask2Former dict losses summed over layers
+    (E2E/main_pretrain.py:608-640)."""
+    from samrs_tpu.seg.decoders.mask2former import mask2former_loss
+
+    @jax.jit
+    def train_step(state: TrainState, batches, dropout_rng):
+        def loss_fn(params):
+            xs = [b[0] for b in batches]
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            rng = jax.random.fold_in(dropout_rng, state.step)
+            outs, updated = model.apply(
+                variables, xs, True, rngs={"dropout": rng}, mutable=["batch_stats"]
+            )
+            losses = []
+            for o, b, nc in zip(outs, batches, num_classes):
+                if o is None:
+                    continue
+                d = mask2former_loss(o, b[1], nc)
+                losses.append(d["loss_cls"] + d["loss_mask"] + d["loss_dice"])
+            return sum(losses), (updated.get("batch_stats", {}), losses)
+
+        (loss, (new_bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+        )
+        metrics = {"loss": loss, **{f"loss_{i}": l for i, l in enumerate(losses)}}
+        return new_state, metrics
+
+    return train_step
+
+
 def make_finetune_step(model, tx) -> Callable:
     @jax.jit
     def train_step(state: TrainState, x, y, dropout_rng):
