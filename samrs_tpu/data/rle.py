@@ -87,9 +87,20 @@ def _decode_counts(s: Union[bytes, str]) -> List[int]:
 
 
 def rle_encode(mask: np.ndarray) -> RLE:
-    """Binary (H, W) mask -> compressed COCO RLE dict (maskUtils.encode parity)."""
+    """Binary (H, W) mask -> compressed COCO RLE dict (maskUtils.encode parity).
+
+    Routes through the native C encoder (samrs_tpu/native/rle_ext.c) when the
+    toolchain built it; numpy+Python fallback otherwise."""
     h, w = mask.shape
-    return {"size": [int(h), int(w)], "counts": _encode_counts(_mask_to_counts(mask))}
+    try:
+        from samrs_tpu.native.build import native_rle_encode
+
+        counts = native_rle_encode(mask)
+    except Exception:
+        counts = None
+    if counts is None:
+        counts = _encode_counts(_mask_to_counts(mask))
+    return {"size": [int(h), int(w)], "counts": counts}
 
 
 def rle_decode(rle: RLE) -> np.ndarray:

@@ -88,12 +88,23 @@ class SemanticGenerator:
             masks = pred.upscale_chunk(low_res[c0 : c0 + chunk, 0], binarize=True)
             valid = min(chunk, n - c0)
             cover = _update_cover(cover, masks, jnp.int32(c0), jnp.int32(valid))
-            masks_h = np.asarray(masks[:valid])
+            masks_h = np.asarray(masks[:valid]).astype(np.uint8)
+            # native batch RLE (C, releases GIL); python fallback inside
+            try:
+                from samrs_tpu.native.build import native_rle_encode_batch
+
+                counts_list = native_rle_encode_batch(masks_h)
+            except Exception:
+                counts_list = None
             for j in range(valid):
                 i = c0 + j
                 m = masks_h[j]
+                if counts_list is not None:
+                    rle = {"size": [h, w], "counts": counts_list[j]}
+                else:
+                    rle = rle_encode(m)
                 rec = instance_record(
-                    rle_encode(m.astype(np.uint8)),
+                    rle,
                     bbox=boxes[i],
                     label=int(labels[i]),
                     category=self.class_names[int(labels[i])],

@@ -1,0 +1,46 @@
+"""Fleet generation driver on the 8-virtual-device CPU mesh."""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from samrs_tpu.core.config import GenerateConfig
+from samrs_tpu.generate.fleet import run_fleet
+
+
+DIOR_XML = """<annotation>
+  <object><name>ship</name>
+    <bndbox><xmin>5</xmin><ymin>5</ymin><xmax>30</xmax><ymax>25</ymax></bndbox>
+  </object>
+</annotation>"""
+
+
+def test_fleet_all_devices(tmp_path, tiny_sam):
+    (tmp_path / "img").mkdir()
+    (tmp_path / "ann").mkdir()
+    rng = np.random.default_rng(0)
+    n_imgs = 10
+    for i in range(n_imgs):
+        Image.fromarray((rng.random((40, 50, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / "img" / f"d{i:02d}.png"
+        )
+        (tmp_path / "ann" / f"d{i:02d}.xml").write_text(DIOR_XML)
+
+    model, variables = tiny_sam
+    cfg = GenerateConfig(
+        dataset="dior", image_dir=str(tmp_path / "img"), ann_dir=str(tmp_path / "ann"),
+        save_dir=str(tmp_path / "out"), box_buckets=(4, 16),
+    )
+    n = run_fleet(cfg, model_and_variables=(model, variables), decode_threads=2,
+                  write_threads=2)
+    assert n == n_imgs
+    assert len(os.listdir(tmp_path / "out" / "gray")) == n_imgs
+    assert len(os.listdir(tmp_path / "out" / "ins")) == n_imgs
+    with open(tmp_path / "out" / "ins" / "d00.pkl", "rb") as f:
+        recs = pickle.load(f)
+    assert recs[0]["category"] == "ship"
+    assert len(jax.local_devices()) == 8  # exercised all virtual devices
