@@ -115,11 +115,18 @@ class Attention(nn.Module):
             rel_pos_h = rel_pos_w = None
 
         if self.use_flash and self.use_rel_pos and not self.is_initializing():
-            from samrs_tpu.kernels.flash_attention import flash_attention_relpos
-
             Rh = get_rel_pos(H, H, rel_pos_h)
             Rw = get_rel_pos(W, W, rel_pos_w)
-            out = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale)
+            if H * W >= 2048:
+                # global layers: flash attention, logits tiled per 128 queries
+                from samrs_tpu.kernels.flash_attention import flash_attention_relpos
+
+                out = flash_attention_relpos(q, k, v, Rh, Rw, (H, W), scale)
+            else:
+                # windowed layers: whole-window fused kernel (logits in VMEM)
+                from samrs_tpu.kernels.window_attention import window_attention_relpos
+
+                out = window_attention_relpos(q, k, v, Rh, Rw, (H, W), scale)
         else:
             attn = jnp.einsum(
                 "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
@@ -168,7 +175,7 @@ class Block(nn.Module):
             use_rel_pos=self.use_rel_pos,
             input_size=attn_size,
             dtype=self.dtype,
-            use_flash=self.use_flash and self.window_size == 0,
+            use_flash=self.use_flash,
             name="attn",
         )(x)
         if self.window_size > 0:
