@@ -1,0 +1,156 @@
+"""Pretrained-weight porting for segmentation backbones.
+
+Behavioral reference: the reference's `init_weights` paths — mmcv-style
+`load_checkpoint` with prefix stripping (ED/mmcv_custom/checkpoint.py:287-330)
+and the RVSA MAE loader with pos-embed interpolation
+(vit_win_rvsa_v3_wsz7.py:693-776).  Loads timm/MAE-style torch ViT state
+dicts into our ViT/RVSA trunks NON-strictly: matching tensors load (qkv, proj,
+norms, mlp, patch embed, interpolated pos embed), RVSA-specific params
+(sampling nets, rel-pos tables) keep their init — exactly the reference's
+strict=False behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Mapping, Tuple
+
+import numpy as np
+
+
+def _strip_prefixes(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for pre in ("module.", "backbone.", "encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def interpolate_pos_embed(
+    pos: np.ndarray, target_tokens: int, has_cls: bool = True
+) -> np.ndarray:
+    """(1, (1+)N, D) -> (1, target, D) bicubic grid resize
+    (vit_win_rvsa_v3_wsz7.py:743-768)."""
+    import jax
+    import jax.numpy as jnp
+
+    if has_cls and pos.shape[1] % int(round(pos.shape[1] ** 0.5)) ** 2 != 0:
+        pos = pos[:, 1:]
+    elif has_cls and int(round((pos.shape[1] - 1) ** 0.5)) ** 2 == pos.shape[1] - 1:
+        pos = pos[:, 1:]
+    n = pos.shape[1]
+    g_old = int(round(n**0.5))
+    g_new = int(round(target_tokens**0.5))
+    if g_old * g_old != n:
+        raise ValueError(f"pos embed length {n} is not square")
+    if g_old == g_new:
+        return np.asarray(pos, np.float32)
+    grid = jnp.asarray(pos, jnp.float32).reshape(1, g_old, g_old, -1)
+    grid = jax.image.resize(grid, (1, g_new, g_new, grid.shape[-1]), "bicubic")
+    return np.asarray(grid.reshape(1, g_new * g_new, -1))
+
+
+def load_torch_vit_backbone(
+    state_dict: Mapping[str, Any], params: Dict[str, Any]
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Non-strict load of a timm/MAE ViT state dict into our trunk params.
+
+    Returns (new_params, loaded_keys, skipped_torch_keys)."""
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params = dict(params)  # shallow; subtrees replaced as needed
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    import copy
+
+    params = copy.deepcopy(params)
+
+    def try_set(flax_path: List[str], value: np.ndarray, tk: str) -> None:
+        node = params
+        for k in flax_path[:-1]:
+            if k not in node:
+                skipped.append(tk)
+                return
+            node = node[k]
+        leaf = flax_path[-1]
+        if leaf not in node:
+            skipped.append(tk)
+            return
+        if tuple(np.shape(node[leaf])) != tuple(value.shape):
+            skipped.append(tk)
+            return
+        node[leaf] = value
+        loaded.append(tk)
+
+    for tk, v in sd.items():
+        if tk in ("cls_token", "mask_token", "norm.weight", "norm.bias"):
+            skipped.append(tk)
+            continue
+        if tk == "pos_embed":
+            if "pos_embed" in params:
+                tgt = np.shape(params["pos_embed"])
+                try:
+                    v2 = interpolate_pos_embed(v, tgt[1], has_cls=True)
+                    if v2.shape == tuple(tgt):
+                        params["pos_embed"] = v2
+                        loaded.append(tk)
+                        continue
+                except ValueError:
+                    pass
+            skipped.append(tk)
+            continue
+        if tk.startswith("patch_embed.proj."):
+            if tk.endswith("weight"):
+                try_set(["patch_embed", "kernel"], v.transpose(2, 3, 1, 0), tk)
+            else:
+                try_set(["patch_embed", "bias"], v, tk)
+            continue
+        m = re.match(r"blocks\.(\d+)\.(.*)", tk)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            blk = f"blocks_{i}"
+            table = {
+                "norm1.weight": ([blk, "norm1", "scale"], None),
+                "norm1.bias": ([blk, "norm1", "bias"], None),
+                "norm2.weight": ([blk, "norm2", "scale"], None),
+                "norm2.bias": ([blk, "norm2", "bias"], None),
+                "attn.qkv.weight": ([blk, "attn", "qkv", "kernel"], "T"),
+                "attn.qkv.bias": ([blk, "attn", "qkv", "bias"], None),
+                "attn.proj.weight": ([blk, "attn", "proj", "kernel"], "T"),
+                "attn.proj.bias": ([blk, "attn", "proj", "bias"], None),
+                "mlp.fc1.weight": ([blk, "mlp", "lin1", "kernel"], "T"),
+                "mlp.fc1.bias": ([blk, "mlp", "lin1", "bias"], None),
+                "mlp.fc2.weight": ([blk, "mlp", "lin2", "kernel"], "T"),
+                "mlp.fc2.bias": ([blk, "mlp", "lin2", "bias"], None),
+                "attn.rel_pos_h": ([blk, "attn", "rel_pos_h"], None),
+                "attn.rel_pos_w": ([blk, "attn", "rel_pos_w"], None),
+            }
+            if rest in table:
+                path, op = table[rest]
+                try_set(path, v.T if op == "T" else v, tk)
+            else:
+                skipped.append(tk)
+            continue
+        skipped.append(tk)
+
+    return params, loaded, skipped
+
+
+def load_backbone_checkpoint(path: str, params: Dict[str, Any]):
+    """Load a torch .pth (MAE/IMP/timm) into backbone params, non-strict."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "module"):
+        if isinstance(sd, dict) and key in sd:
+            sd = sd[key]
+            break
+    new_params, loaded, skipped = load_torch_vit_backbone(sd, params)
+    print(f"loaded {len(loaded)} tensors, skipped {len(skipped)} "
+          f"(e.g. {skipped[:5]})")
+    return new_params
