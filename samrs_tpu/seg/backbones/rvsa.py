@@ -163,7 +163,8 @@ class RotatedVariedSizeWindowAttention(nn.Module):
             ((2 * ws - 1) * (2 * ws - 1), nH),
         )
         idx = jnp.asarray(_swin_rel_index(ws).reshape(-1))
-        bias = table[idx].reshape(ws * ws, ws * ws, nH).transpose(2, 0, 1)
+        bias = jnp.take(jnp.asarray(table), idx, axis=0)
+        bias = bias.reshape(ws * ws, ws * ws, nH).transpose(2, 0, 1)
         attn = attn + bias[None]
 
         attn = jax.nn.softmax(attn, axis=-1)

@@ -73,7 +73,8 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, self.num_heads),
         )
         idx = jnp.asarray(_rel_index(self.window_size).reshape(-1))
-        bias = table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+        bias = jnp.take(jnp.asarray(table), idx, axis=0)
+        bias = bias.reshape(N, N, self.num_heads).transpose(2, 0, 1)
         attn = attn + bias[None]
         if mask is not None:
             nW = mask.shape[0]

@@ -163,3 +163,85 @@ def run_test(
         "test: mIoU %.4f mF1 %.4f OA %.4f", scores["miou"], scores["mf1"], scores["all_acc"]
     )
     return scores
+
+
+class _RawDataset:
+    """Wraps a SegmentationDataset-style file list into raw (uint8, label)
+    pairs for sliding-window testing (no crop augmentation)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        import numpy as _np
+        from PIL import Image
+
+        image = _np.asarray(Image.open(self.ds.files[i]).convert("RGB"))
+        label = _np.asarray(Image.open(self.ds.targets[i]))
+        if hasattr(self.ds, "NUM_CLASSES") and self.ds.NUM_CLASSES == 6 and label.ndim == 3:
+            from samrs_tpu.data.datasets import isprs_rgb_to_label
+
+            label = isprs_rgb_to_label(label)
+        elif label.ndim == 3:
+            label = label[..., 0]
+        return image, label.astype(_np.int32)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI: sliding-window test of a finetuned checkpoint (test_gpu.py CLI)."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from samrs_tpu.core.checkpoint import load_checkpoint
+    from samrs_tpu.data.datasets import ISAIDDataset, ISPRSDataset
+    from samrs_tpu.data.mapping import PALETTE
+    from samrs_tpu.seg.frameworks import SegModel
+    from samrs_tpu.train.finetune import FINETUNE_DATASETS
+
+    p = argparse.ArgumentParser(description="SAMRS sliding-window test")
+    p.add_argument("--dataset", default="potsdam", choices=sorted(FINETUNE_DATASETS))
+    p.add_argument("--backbone", default="vit_b_rvsa")
+    p.add_argument("--decoder", default="upernet")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--crop", type=int, default=0, help="0 = dataset default size")
+    p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--save-dir", default=None)
+    a = p.parse_args(argv)
+
+    ds_cls, num_classes, default_size, skip_bg = FINETUNE_DATASETS[a.dataset]
+    crop = a.crop or default_size
+    model = SegModel(backbone=a.backbone, decoder=a.decoder, num_classes=num_classes,
+                     image_size=crop)
+    import jax as _jax
+    import os as _os
+
+    x0 = jnp.zeros((1, crop, crop, 3), jnp.float32)
+    variables = model.init(
+        {"params": _jax.random.PRNGKey(0), "dropout": _jax.random.PRNGKey(1)}, x0, False
+    )
+    tree = load_checkpoint(a.checkpoint)
+    from flax import serialization
+
+    params = serialization.from_state_dict(variables["params"], tree["params"])
+    bstats = serialization.from_state_dict(
+        variables.get("batch_stats", {}), tree.get("batch_stats", {}))
+    variables = _jax.tree_util.tree_map(jnp.asarray, {"params": params, "batch_stats": bstats})
+
+    root = _os.path.join(a.data_root, a.dataset)
+    ds = ds_cls(root, _os.path.join(root, "images"), _os.path.join(root, "labels"),
+                split="tes")
+    logging.basicConfig(level=logging.INFO)
+    run_test(
+        model, variables, _RawDataset(ds), num_classes, crop,
+        scales=DEFAULT_SCALES if a.multiscale else (1.0,),
+        save_dir=a.save_dir, palette=PALETTE, skip_background=skip_bg,
+    )
+
+
+if __name__ == "__main__":
+    main()
