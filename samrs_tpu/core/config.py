@@ -202,6 +202,7 @@ class PretrainConfig(Config):
     backbone: str = "vit_b_rvsa"
     decoder: str = "upernet"
     init: str = "none"  # none | imp | mae | beit ... pretrained-init family
+    pretrained: Optional[str] = None  # torch .pth (timm/MAE) for the encoder
     total_iters: int = 80_000
     eval_interval: int = 1000
     seed: int = 2023

@@ -29,13 +29,21 @@ def _path_str(path) -> str:
 
 
 def vit_layer_id(path: str, num_layers: int) -> int:
-    """Layer id for ViT-style trunks (layer_decay_optimizer_constructor_vit.py:7-17)."""
-    if "pos_embed" in path or "patch_embed" in path:
+    """Layer id for trunk params (layer_decay_optimizer_constructor_vit.py:7-17
+    for ViT; swin/internimage use stage-level ids like the reference's
+    custom_layer_decay_optimizer_constructor.py:17-61)."""
+    if "pos_embed" in path or "patch_embed" in path or "stem" in path:
         return 0
     m = re.search(r"blocks_(\d+)", path)
     if m:
         return int(m.group(1)) + 1
-    m = re.search(r"stage(\d+)_block(\d+)", path)  # swin: stage-level ids
+    m = re.search(r"stage(\d+)_block(\d+)", path)  # swin
+    if m:
+        return int(m.group(1)) + 1
+    m = re.search(r"level(\d+)_block(\d+)", path)  # internimage
+    if m:
+        return int(m.group(1)) + 1
+    m = re.search(r"(?:rc|nc)(\d+)", path)  # vitae stages
     if m:
         return int(m.group(1)) + 1
     return num_layers + 1

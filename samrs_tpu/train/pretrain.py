@@ -143,6 +143,14 @@ def run_pretrain(
     ]
     variables = model.init(rngs, xs_init, True)
     params = variables["params"]
+    if cfg.pretrained:
+        # torch MAE/IMP checkpoint grafted into the encoder, non-strict
+        # (the reference's init_weights path, models.py:201-265)
+        from samrs_tpu.seg.port import load_backbone_checkpoint
+
+        params = dict(params)
+        params["encoder"] = load_backbone_checkpoint(cfg.pretrained, params["encoder"])
+        logger.info("initialized encoder from %s (%s)", cfg.pretrained, cfg.init)
     batch_stats = variables.get("batch_stats", {})
 
     sched = warmup_cosine_schedule(
