@@ -61,10 +61,19 @@ def test_backbone_multiscale_shapes(name, c_expect):
 
 @pytest.mark.parametrize("decoder", ["unet", "unetpp", "upernet"])
 def test_framework_single_head(decoder):
-    model = SegModel(
+    from samrs_tpu.seg.backbones.resnet import ResNet
+    from samrs_tpu.seg.frameworks import SegHead
+    from samrs_tpu.seg.registry import get_decoder
+
+    class _TinyRes(SegModel):
+        def setup(self):
+            self.encoder = ResNet(stage_sizes=(1, 1, 1, 1))
+            self.seg_decoder = get_decoder(self.decoder, self.encoder.out_channels)
+            self.head = SegHead(self.num_classes)
+
+    model = _TinyRes(
         backbone="resnet50", decoder=decoder, num_classes=6, image_size=SIZE
     )
-    # shrink the resnet for test speed by monkey config: use full resnet50 (small input)
     x = jnp.zeros((2, SIZE, SIZE, 3), jnp.float32)
     logits, variables = _init_and_run(model, x)
     assert logits.shape == (2, SIZE, SIZE, 6)
@@ -75,6 +84,20 @@ def test_framework_multi_head_and_grads():
     model = MultiHeadSegModel(
         backbone="swin_t", decoder="upernet", num_classes=(5, 7, 9), image_size=SIZE
     )
+    # shrink: full swin-T compile dominates suite time on CPU
+    from samrs_tpu.seg.backbones.swin import Swin
+    from samrs_tpu.seg.decoders.upernet import UPerHead
+    from samrs_tpu.seg.frameworks import SegHead
+
+    class _Tiny(MultiHeadSegModel):
+        def setup(self):
+            self.encoder = Swin(embed_dim=8, depths=(1, 1, 1, 1),
+                                num_heads=(1, 1, 1, 1), window_size=4)
+            self.seg_decoder = UPerHead(channels=16)
+            self.heads = [SegHead(nc, kernel=1, dropout=0.1, name=f"head_{i}")
+                          for i, nc in enumerate((5, 7, 9))]
+
+    model = _Tiny(num_classes=(5, 7, 9), image_size=SIZE)
     x1 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, [x1, x1, x1], True
