@@ -141,6 +141,97 @@ def load_torch_vit_backbone(
     return params, loaded, skipped
 
 
+def load_torch_swin_backbone(
+    state_dict: Mapping[str, Any], params: Dict[str, Any]
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Non-strict load of a timm/mmseg Swin state dict into our Swin params.
+
+    torch names `layers.{s}.blocks.{b}.*` map to `stage{s}_block{b}/*`;
+    `layers.{s}.downsample.*` to `merge{s}/*`; per-stage `norm{s}` heads to
+    `norm{s}` (the mmseg out-norm convention ED/backbone/swin.py keeps)."""
+    import copy
+
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params = copy.deepcopy(params)
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    def try_set(flax_path: List[str], value: np.ndarray, tk: str) -> None:
+        node = params
+        for k in flax_path[:-1]:
+            if k not in node:
+                skipped.append(tk)
+                return
+            node = node[k]
+        leaf = flax_path[-1]
+        if leaf not in node or tuple(np.shape(node[leaf])) != tuple(value.shape):
+            skipped.append(tk)
+            return
+        node[leaf] = value
+        loaded.append(tk)
+
+    for tk, v in sd.items():
+        if tk.startswith("patch_embed.proj."):
+            if tk.endswith("weight"):
+                try_set(["patch_embed", "kernel"], v.transpose(2, 3, 1, 0), tk)
+            else:
+                try_set(["patch_embed", "bias"], v, tk)
+            continue
+        if tk.startswith("patch_embed.norm."):
+            try_set(["patch_norm", "scale" if tk.endswith("weight") else "bias"], v, tk)
+            continue
+        m = re.match(r"norm(\d+)\.(weight|bias)", tk)
+        if m:
+            try_set([f"norm{m.group(1)}", "scale" if m.group(2) == "weight" else "bias"],
+                    v, tk)
+            continue
+        m = re.match(r"layers\.(\d+)\.downsample\.(.*)", tk)
+        if m:
+            s, rest = m.group(1), m.group(2)
+            table = {
+                "reduction.weight": ([f"merge{s}", "reduction", "kernel"], "T"),
+                "norm.weight": ([f"merge{s}", "norm", "scale"], None),
+                "norm.bias": ([f"merge{s}", "norm", "bias"], None),
+            }
+            if rest in table:
+                path, op = table[rest]
+                try_set(path, v.T if op == "T" else v, tk)
+            else:
+                skipped.append(tk)
+            continue
+        m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.*)", tk)
+        if m:
+            s, b, rest = m.group(1), m.group(2), m.group(3)
+            blk = f"stage{s}_block{b}"
+            table = {
+                "norm1.weight": ([blk, "norm1", "scale"], None),
+                "norm1.bias": ([blk, "norm1", "bias"], None),
+                "norm2.weight": ([blk, "norm2", "scale"], None),
+                "norm2.bias": ([blk, "norm2", "bias"], None),
+                "attn.qkv.weight": ([blk, "attn", "qkv", "kernel"], "T"),
+                "attn.qkv.bias": ([blk, "attn", "qkv", "bias"], None),
+                "attn.proj.weight": ([blk, "attn", "proj", "kernel"], "T"),
+                "attn.proj.bias": ([blk, "attn", "proj", "bias"], None),
+                "attn.relative_position_bias_table": (
+                    [blk, "attn", "relative_position_bias_table"], None),
+                "mlp.fc1.weight": ([blk, "mlp", "lin1", "kernel"], "T"),
+                "mlp.fc1.bias": ([blk, "mlp", "lin1", "bias"], None),
+                "mlp.fc2.weight": ([blk, "mlp", "lin2", "kernel"], "T"),
+                "mlp.fc2.bias": ([blk, "mlp", "lin2", "bias"], None),
+            }
+            if rest in table:
+                path, op = table[rest]
+                try_set(path, v.T if op == "T" else v, tk)
+            else:
+                skipped.append(tk)  # relative_position_index buffers etc.
+            continue
+        skipped.append(tk)
+    return params, loaded, skipped
+
+
 def load_backbone_checkpoint(path: str, params: Dict[str, Any]):
     """Load a torch .pth (MAE/IMP/timm) into backbone params, non-strict."""
     import torch
@@ -150,7 +241,9 @@ def load_backbone_checkpoint(path: str, params: Dict[str, Any]):
         if isinstance(sd, dict) and key in sd:
             sd = sd[key]
             break
-    new_params, loaded, skipped = load_torch_vit_backbone(sd, params)
+    is_swin = any("layers." in k and ".blocks." in k for k in sd)
+    loader = load_torch_swin_backbone if is_swin else load_torch_vit_backbone
+    new_params, loaded, skipped = loader(sd, params)
     print(f"loaded {len(loaded)} tensors, skipped {len(skipped)} "
           f"(e.g. {skipped[:5]})")
     return new_params

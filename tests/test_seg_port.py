@@ -75,3 +75,55 @@ def test_load_mae_into_rvsa():
                       rngs={"dropout": jax.random.PRNGKey(2)})
     assert len(out) == 5
     assert np.isfinite(np.asarray(out[1])).all()
+
+def test_load_swin_checkpoint():
+    from samrs_tpu.seg.backbones.swin import Swin
+    from samrs_tpu.seg.port import load_torch_swin_backbone
+
+    model = Swin(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window_size=4)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, False
+    )
+    params = variables["params"]
+    rng = np.random.default_rng(0)
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(8, 3, 4, 4)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(8, np.float32),
+        "patch_embed.norm.weight": np.ones(8, np.float32),
+        "patch_embed.norm.bias": np.zeros(8, np.float32),
+        "layers.0.blocks.0.norm1.weight": np.ones(8, np.float32),
+        "layers.0.blocks.0.norm1.bias": np.zeros(8, np.float32),
+        "layers.0.blocks.0.attn.qkv.weight": rng.normal(size=(24, 8)).astype(np.float32),
+        "layers.0.blocks.0.attn.qkv.bias": np.zeros(24, np.float32),
+        "layers.0.blocks.0.attn.proj.weight": rng.normal(size=(8, 8)).astype(np.float32),
+        "layers.0.blocks.0.attn.proj.bias": np.zeros(8, np.float32),
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            rng.normal(size=(49, 1)).astype(np.float32),
+        "layers.0.blocks.0.attn.relative_position_index": np.zeros((16, 16), np.int64),
+        "layers.0.blocks.0.norm2.weight": np.ones(8, np.float32),
+        "layers.0.blocks.0.norm2.bias": np.zeros(8, np.float32),
+        "layers.0.blocks.0.mlp.fc1.weight": rng.normal(size=(32, 8)).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc1.bias": np.zeros(32, np.float32),
+        "layers.0.blocks.0.mlp.fc2.weight": rng.normal(size=(8, 32)).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc2.bias": np.zeros(8, np.float32),
+        "layers.0.downsample.reduction.weight": rng.normal(size=(16, 32)).astype(np.float32),
+        "layers.0.downsample.norm.weight": np.ones(32, np.float32),
+        "layers.0.downsample.norm.bias": np.zeros(32, np.float32),
+        "norm0.weight": np.ones(8, np.float32),
+        "norm0.bias": np.zeros(8, np.float32),
+    }
+    new_params, loaded, skipped = load_torch_swin_backbone(sd, params)
+    np.testing.assert_allclose(
+        np.asarray(new_params["stage0_block0"]["attn"]["qkv"]["kernel"]),
+        sd["layers.0.blocks.0.attn.qkv.weight"].T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["merge0"]["reduction"]["kernel"]),
+        sd["layers.0.downsample.reduction.weight"].T,
+    )
+    assert "layers.0.blocks.0.attn.relative_position_index" in skipped
+    # still runs
+    out = model.apply({"params": new_params}, x, False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert len(out) == 3
