@@ -195,6 +195,8 @@ class ViTRVSA(nn.Module):
     out_indices: Tuple[int, ...] = (3, 5, 7, 11)
     drop_path_rate: float = 0.1
     use_abs_pos_emb: bool = True
+    use_checkpoint: bool = False  # remat blocks (reference torch.utils.checkpoint,
+    # vit_win_rvsa_v3_wsz7.py:799-800) — trades recompute for activation memory
     dtype: Dtype = jnp.float32
 
     @property
@@ -234,7 +236,10 @@ class ViTRVSA(nn.Module):
                 attn_cls, kwargs = RotatedVariedSizeWindowAttention, dict(
                     window_size=self.window_size
                 )
-            x = ViTBlock(
+            block_cls = ViTBlock
+            if self.use_checkpoint:
+                block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+            x = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 attention=attn_cls,
@@ -243,7 +248,7 @@ class ViTRVSA(nn.Module):
                 drop_path=float(dpr[i]),
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=not train)
+            )(x, not train)
             if i in self.out_indices:
                 feats[i] = x
         taps = [feats[i] for i in self.out_indices]
