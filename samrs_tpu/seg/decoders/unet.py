@@ -12,13 +12,19 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from samrs_tpu.seg.decoders.blocks import ConvBNReLU, resize_bilinear_nhwc, upsample_nearest_2x
+from samrs_tpu.seg.decoders.blocks import (
+    ConvBNReLU,
+    SCSEModule,
+    resize_bilinear_nhwc,
+    upsample_nearest_2x,
+)
 
 Dtype = Any
 
 
 class DecoderBlock(nn.Module):
     out_ch: int
+    attention_type: str = "none"  # 'none' | 'scse' (ED/unet.py attention_type)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -27,13 +33,18 @@ class DecoderBlock(nn.Module):
         if skip is not None:
             skip = resize_bilinear_nhwc(skip, x.shape[1:3])
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            if self.attention_type == "scse":
+                x = SCSEModule(dtype=self.dtype, name="attention1")(x)
         x = ConvBNReLU(self.out_ch, dtype=self.dtype, name="conv1")(x, train)
         x = ConvBNReLU(self.out_ch, dtype=self.dtype, name="conv2")(x, train)
+        if self.attention_type == "scse":
+            x = SCSEModule(dtype=self.dtype, name="attention2")(x)
         return x
 
 
 class UnetDecoder(nn.Module):
     decoder_channels: Tuple[int, ...] = (512, 256, 128, 64)
+    attention_type: str = "none"
     dtype: Dtype = jnp.float32
 
     @property
@@ -47,5 +58,8 @@ class UnetDecoder(nn.Module):
         skips = feats[1:]
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(out_ch, dtype=self.dtype, name=f"block{i}")(x, skip, train)
+            x = DecoderBlock(
+                out_ch, attention_type=self.attention_type, dtype=self.dtype,
+                name=f"block{i}",
+            )(x, skip, train)
         return resize_bilinear_nhwc(x, (x.shape[1] * 2, x.shape[2] * 2))
