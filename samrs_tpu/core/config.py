@@ -62,12 +62,14 @@ class Config:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "Config":
         kwargs = {}
+        ftypes = field_types(cls)
         for f in fields(cls):
             if f.name not in d:
                 continue
             v = d[f.name]
-            if is_dataclass(f.type) and isinstance(v, dict):
-                v = f.type.from_dict(v)
+            typ = ftypes.get(f.name)
+            if is_dataclass(typ) and isinstance(v, dict):
+                v = typ.from_dict(v)
             kwargs[f.name] = v
         return cls(**kwargs)
 
