@@ -236,10 +236,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ds = ds_cls(root, _os.path.join(root, "images"), _os.path.join(root, "labels"),
                 split="tes")
     logging.basicConfig(level=logging.INFO)
+    # dataset-specific output palettes (ED/utils.py:106-137)
+    if a.dataset in ("potsdam", "vaihingen"):
+        from samrs_tpu.data.datasets import ISPRS_PALETTE
+
+        palette = np.zeros((256, 3), np.uint8)
+        palette[: len(ISPRS_PALETTE)] = ISPRS_PALETTE
+    else:
+        palette = PALETTE
     run_test(
         model, variables, _RawDataset(ds), num_classes, crop,
         scales=DEFAULT_SCALES if a.multiscale else (1.0,),
-        save_dir=a.save_dir, palette=PALETTE, skip_background=skip_bg,
+        save_dir=a.save_dir, palette=palette, skip_background=skip_bg,
     )
 
 

@@ -267,6 +267,15 @@ def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> f
             inter += np.asarray(iu[0])
             target += np.asarray(iu[1])
             union += np.asarray(iu[2])
+        if jax.process_count() > 1:
+            # cross-host histogram reduction (the reference's dist.all_reduce,
+            # ED/main_pretrain.py:486)
+            from jax.experimental import multihost_utils
+
+            stacked = multihost_utils.process_allgather(
+                np.stack([inter, target, union])
+            )
+            inter, target, union = stacked.sum(axis=0)
         scores = segmentation_scores(inter, target, union)
         logger.info("val[%s]: mIoU %.4f allAcc %.4f", name, scores["miou"], scores["all_acc"])
         mious.append(scores["miou"])
