@@ -25,7 +25,7 @@ import numpy as np
 REFERENCE_IMG_PER_S = 1.8  # PyTorch eager ViT-H on A100-class GPU (estimate)
 
 
-def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
+def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8, batch: int = 4) -> None:
     from samrs_tpu.core.config import sam_config
     from samrs_tpu.sam.build import init_sam_variables
     from samrs_tpu.sam.sam import Sam, postprocess_masks
@@ -40,10 +40,12 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
     variables = init_sam_variables(model, seed=0)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.random((1, cfg.image_size, cfg.image_size, 3)), jnp.float32)
-    boxes = rng.uniform(0, cfg.image_size, (n_boxes, 2, 2)).astype(np.float32)
-    pts = jnp.asarray(np.sort(boxes, axis=1))
-    labs = jnp.tile(jnp.asarray([[2, 3]], jnp.int32), (n_boxes, 1))
+    img = jnp.asarray(
+        rng.random((batch, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    boxes = rng.uniform(0, cfg.image_size, (batch, n_boxes, 2, 2)).astype(np.float32)
+    pts = jnp.asarray(np.sort(boxes, axis=2))
+    labs = jnp.tile(jnp.asarray([[[2, 3]]], jnp.int32), (batch, n_boxes, 1))
 
     @jax.jit
     def step(carry, variables, img, pts, labs):
@@ -51,26 +53,31 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8) -> None:
         # execution even through result-caching/async transports
         img = img + carry * 1e-12
         feats = model.apply(variables, img, method=Sam.encode_image)
-        low_res, iou = model.apply(
-            variables, feats, pts, labs, None, False, method=Sam.predict
-        )
-        masks = postprocess_masks(
-            low_res, (cfg.image_size, cfg.image_size), (cfg.image_size, cfg.image_size),
-            cfg.image_size,
-        )
-        masks = masks > cfg.mask_threshold
-        return carry + masks.sum() + iou.sum(), masks
+
+        def decode_one(args):
+            f, p, l = args
+            low_res, iou = model.apply(
+                variables, f[None], p, l, None, False, method=Sam.predict
+            )
+            masks = postprocess_masks(
+                low_res, (cfg.image_size, cfg.image_size),
+                (cfg.image_size, cfg.image_size), cfg.image_size,
+            ) > cfg.mask_threshold
+            return masks.sum() + iou.sum()
+
+        sums = jax.lax.map(decode_one, (feats, pts, labs))
+        return carry + sums.sum()
 
     # warmup/compile (host fetch = the only reliable sync on remote transports)
-    carry, _ = step(jnp.float32(0), variables, img, pts, labs)
+    carry = step(jnp.float32(0), variables, img, pts, labs)
     float(carry)
 
     t0 = time.perf_counter()
     carry = jnp.float32(0)
     for _ in range(iters):
-        carry, m = step(carry, variables, img, pts, labs)
+        carry = step(carry, variables, img, pts, labs)
     float(carry)  # forces completion of the whole chain
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters / batch
 
     img_per_s = 1.0 / dt
     print(

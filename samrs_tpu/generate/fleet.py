@@ -104,28 +104,51 @@ def run_fleet(
     done_count = [0] * n_dev
     t_start = time.perf_counter()
 
-    def worker(dev_idx: int):
+    def worker(dev_idx: int, encode_batch: int = 4):
         dev = devices[dev_idx]
         with jax.default_device(dev):
             dev_vars = jax.device_put(variables, dev)
             predictor = SamPredictor(model, dev_vars, buckets=cfg.box_buckets)
             gen = SemanticGenerator(predictor, class_names)
+
+            def flush(pending):
+                # batched encoder pass (one jit call for up to encode_batch
+                # same-sized images), then per-image decode/paint/record
+                groups = {}
+                for item in pending:
+                    groups.setdefault(item[1].shape[:2], []).append(item)
+                for shape, items in groups.items():
+                    encoded = predictor.encode_images([im for _, im, _ in items])
+                    for (name, image, ann), enc in zip(items, encoded):
+                        result = gen.process_encoded(enc, shape, ann, rotated=rotated)
+
+                        def write(name=name, result=result):
+                            save_semantic_png(
+                                os.path.join(gray_dir, name + ".png"), result.gray
+                            )
+                            save_color_png(
+                                os.path.join(color_dir, name + ".png"), result.color
+                            )
+                            save_instances_pkl(
+                                os.path.join(ins_dir, name + ".pkl"), result.records
+                            )
+
+                        write_pool.submit(write)
+                        done_count[dev_idx] += 1
+
+            pending: List = []
             while True:
                 item = work_queues[dev_idx].get()
                 if item is StopIteration:
+                    if pending:
+                        flush(pending)
                     break
                 if item is None:
                     continue
-                name, image, ann = item
-                result = gen.process_image(image, ann, rotated=rotated)
-
-                def write(name=name, result=result):
-                    save_semantic_png(os.path.join(gray_dir, name + ".png"), result.gray)
-                    save_color_png(os.path.join(color_dir, name + ".png"), result.color)
-                    save_instances_pkl(os.path.join(ins_dir, name + ".pkl"), result.records)
-
-                write_pool.submit(write)
-                done_count[dev_idx] += 1
+                pending.append(item)
+                if len(pending) >= encode_batch:
+                    flush(pending)
+                    pending = []
 
     def feed():
         futures = [

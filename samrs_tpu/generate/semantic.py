@@ -66,6 +66,20 @@ class SemanticGenerator:
         """image: HWC uint8; ann: loaded Annotation.  rotated=True uses the
         minimal enclosing hbox of each rotated polygon as the prompt and adds
         rbox/rhbox fields to the records (the FAST pipeline)."""
+        self.predictor.set_image(image)
+        return self.process_with_set_image(image.shape[:2], ann, rotated)
+
+    def process_encoded(
+        self, encoded, hw: Tuple[int, int], ann: Annotation, rotated: bool = False
+    ) -> ImageResult:
+        """Variant taking one (features, original_size, input_size) entry from
+        SamPredictor.encode_images (the batched-encoder fleet path)."""
+        self.predictor.set_image_features(*encoded)
+        return self.process_with_set_image(hw, ann, rotated)
+
+    def process_with_set_image(
+        self, hw: Tuple[int, int], ann: Annotation, rotated: bool = False
+    ) -> ImageResult:
         from samrs_tpu.data.mapping import PALETTE
 
         if rotated:
@@ -74,10 +88,9 @@ class SemanticGenerator:
             boxes = ann.hboxes
         labels = np.asarray(ann.labels, np.int32)
         n = boxes.shape[0]
-        h, w = image.shape[:2]
+        h, w = hw
 
         pred = self.predictor
-        pred.set_image(image)
         low_res, _iou = pred.predict_boxes_lowres(boxes, multimask_output=False)
 
         nb = low_res.shape[0]  # bucket-padded count; buckets and chunk are
