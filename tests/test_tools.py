@@ -99,3 +99,31 @@ def test_visualize():
     out = blend_overlay(img, gray, 0.4)
     assert out.shape == (4, 4, 3)
     assert tuple(out[1, 1]) == (102, 102, 102)  # 0.4 * 255
+
+
+def test_statistic_cli(tmp_path):
+    from samrs_tpu.tools.statistic import main
+
+    (tmp_path / "ins").mkdir()
+    _write_pkl(tmp_path / "ins" / "a.pkl", [{"label": 1, "size": 9}])
+    main(["--dataset", "sota", "--ins-dir", str(tmp_path / "ins"),
+          "--save-dir", str(tmp_path / "stats")])
+    assert (tmp_path / "stats" / "class_pixel_num_sota.pkl").exists()
+    main(["--dataset", "sota", "--ins-dir", str(tmp_path / "ins"),
+          "--save-dir", str(tmp_path / "stats"), "--mode", "sizes"])
+    assert (tmp_path / "stats" / "instance_mask_size_sota.pkl").exists()
+
+
+def test_visualize_cli(tmp_path):
+    from PIL import Image
+
+    from samrs_tpu.tools.visualize import main
+
+    (tmp_path / "img").mkdir()
+    (tmp_path / "lbl").mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "img" / "x.png")
+    Image.fromarray(np.full((8, 8), 255, np.uint8)).save(tmp_path / "lbl" / "x.png")
+    main(["--image-dir", str(tmp_path / "img"), "--label-dir", str(tmp_path / "lbl"),
+          "--save-dir", str(tmp_path / "out")])
+    out = np.asarray(Image.open(tmp_path / "out" / "x.png"))
+    assert tuple(out[0, 0]) == (102, 102, 102)  # 0.4 * white over black
