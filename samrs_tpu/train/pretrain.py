@@ -188,11 +188,22 @@ def run_pretrain(
         ]
     dropout_rng = jax.random.PRNGKey(cfg.seed + 2)
 
+    from samrs_tpu.core.resilience import GracefulShutdown, Watchdog
+
+    shutdown = GracefulShutdown()
+    watchdog = Watchdog(timeout_s=1800.0, name="pretrain")
+
     best_miou = float(start_meta.get("best_miou", -1.0))
     total = max_iters if max_iters is not None else cfg.total_iters
     t0 = time.perf_counter()
     it = int(state.step)
     while it < total:
+        if shutdown.should_stop:
+            logger.warning("preemption: checkpointing at iter %d and exiting", it)
+            if jax.process_index() == 0:
+                save_train_state(cfg.ckpt_dir, state, "last", {"best_miou": best_miou})
+            break
+        watchdog.beat()
         batches = []
         for ld in loaders:
             x, y = next(ld)
@@ -219,6 +230,8 @@ def run_pretrain(
                     best_miou = miou
                     save_train_state(cfg.ckpt_dir, state, "best", {"best_miou": best_miou})
             logger.info("iter %d eval mIoU %.4f (best %.4f)", it, miou, best_miou)
+    watchdog.stop()
+    shutdown.restore()
     return state
 
 
