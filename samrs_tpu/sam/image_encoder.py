@@ -88,6 +88,7 @@ class Attention(nn.Module):
     input_size: Optional[Tuple[int, int]] = None  # (H, W) of tokens at init
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    window_attn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +127,10 @@ class Attention(nn.Module):
                 # windowed layers: whole-window fused kernel (logits in VMEM)
                 from samrs_tpu.kernels.window_attention import window_attention_relpos
 
-                out = window_attention_relpos(q, k, v, Rh, Rw, (H, W), scale)
+                out = window_attention_relpos(
+                    q, k, v, Rh, Rw, (H, W), scale,
+                    force_xla=(self.window_attn_impl == "xla"),
+                )
         else:
             attn = jnp.einsum(
                 "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
@@ -157,6 +161,7 @@ class Block(nn.Module):
     input_size: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    window_attn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -176,6 +181,7 @@ class Block(nn.Module):
             input_size=attn_size,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            window_attn_impl=self.window_attn_impl,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -208,6 +214,7 @@ class ImageEncoderViT(nn.Module):
     use_abs_pos: bool = True
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    window_attn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -236,6 +243,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(grid, grid),
                 dtype=self.dtype,
                 use_flash=self.use_flash,
+                window_attn_impl=self.window_attn_impl,
                 name=f"blocks_{i}",
             )(x)
         # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)

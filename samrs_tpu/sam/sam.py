@@ -74,6 +74,7 @@ class Sam(nn.Module):
             global_attn_indexes=c.encoder_global_attn_indexes,
             dtype=dtype,
             use_flash=c.use_flash_attention,
+            window_attn_impl=c.window_attn_impl,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=c.prompt_embed_dim,
