@@ -34,30 +34,16 @@ def window_attention_xla(q, k, v, rel_h, rel_w, scale):
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale, kh, kw):
-    n = kh * kw
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1)
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)
-    eh = (col // kw == row_h).astype(jnp.float32)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1)
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
-    ew = (col_w % kw == row_w).astype(jnp.float32)
+def _kernel(qp_ref, kp_ref, v_ref, o_ref):
+    """Per-window fused attention on augmented operands (see flash_attention:
+    the rel-pos bias is folded into the q'/k' contraction)."""
 
     def one(i, _):
-        q = q_ref[i].astype(jnp.float32)  # (N, d)
-        k = k_ref[i]
+        qp = qp_ref[i]  # (N, d') scaled + augmented
+        kp = kp_ref[i]
         v = v_ref[i]
         s = jax.lax.dot_general(
-            (q * scale).astype(k.dtype), k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + jax.lax.dot_general(
-            rh_ref[i], eh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + jax.lax.dot_general(
-            rw_ref[i], ew, dimension_numbers=(((1,), (0,)), ((), ())),
+            qp, kp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -70,36 +56,46 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale, kh, kw):
         o_ref[i] = o.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, q_ref.shape[0], one, 0, unroll=True)
+    jax.lax.fori_loop(0, qp_ref.shape[0], one, 0, unroll=True)
 
 
 def _window_attention_pallas(q, k, v, rel_h, rel_w, scale, interpret=False):
+    from samrs_tpu.kernels.flash_attention import onehot_expansions
+
     B, N, d = q.shape
     kh, kw = rel_h.shape[-1], rel_w.shape[-1]
+    cdt = v.dtype if v.dtype == jnp.bfloat16 else jnp.float32
+    eh, ew = onehot_expansions(kh, kw, cdt)
+    qp = jnp.concatenate(
+        [(q * scale).astype(cdt), rel_h.astype(cdt), rel_w.astype(cdt)], axis=-1
+    )
+    kp = jnp.concatenate(
+        [k.astype(cdt),
+         jnp.broadcast_to(eh[None], (B, N, kh)),
+         jnp.broadcast_to(ew[None], (B, N, kw))], axis=-1
+    )
+    dp = d + kh + kw
     wb = WB
     while B % wb:
         wb //= 2
     wb = max(wb, 1)
     grid = (B // wb,)
-    kernel = functools.partial(_kernel, scale=scale, kh=kh, kw=kw)
     return pl.pallas_call(
-        kernel,
+        _kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((wb, N, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, N, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wb, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, N, kh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, N, kw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((wb, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * N * N * d, bytes_accessed=4 * B * N * d * 4,
+            flops=2 * B * N * N * (dp + d), bytes_accessed=2 * B * N * dp * 2,
             transcendentals=B * N * N,
         ),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(qp, kp, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
