@@ -86,3 +86,29 @@ def test_postprocess_masks_crop_resize():
     masks = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 32, 32)), jnp.float32)
     out = postprocess_masks(masks, (100, 128), (200, 256), img_size=128)
     assert out.shape == (2, 1, 200, 256)
+
+
+def test_sam_forward_batched_dict_api(tiny_sam):
+    """Reference Sam.forward parity: list of per-image prompt dicts."""
+    from samrs_tpu.sam.api import sam_forward_batched
+    from samrs_tpu.sam.predictor import SamPredictor
+
+    model, variables = tiny_sam
+    pred = SamPredictor(model, variables, buckets=(4, 16))
+    rng = np.random.default_rng(0)
+    batched_input = [
+        {
+            "image": (rng.random((48, 64, 3)) * 255).astype(np.uint8),
+            "boxes": np.array([[5, 5, 30, 30], [10, 20, 60, 40]], np.float32),
+        },
+        {
+            "image": (rng.random((3, 40, 40)) * 255).astype(np.uint8),  # CHW form
+            "point_coords": np.array([[20.0, 20.0]]),
+            "point_labels": np.array([1]),
+        },
+    ]
+    outs = sam_forward_batched(pred, batched_input, multimask_output=False)
+    assert len(outs) == 2
+    assert outs[0]["masks"].shape == (2, 1, 48, 64)
+    assert outs[0]["iou_predictions"].shape == (2, 1)
+    assert outs[1]["masks"].shape[-2:] == (40, 40)
