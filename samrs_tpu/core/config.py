@@ -133,7 +133,8 @@ class SamConfig(Config):
     # TPU-specific knobs (no reference analogue)
     compute_dtype: str = "bfloat16"  # encoder matmuls; decode path stays fp32
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
-    window_attn_impl: str = "fused"  # 'fused' (transpose-free) | 'pallas' | 'xla'
+    window_attn_impl: str = "pallas"  # 'pallas' | 'xla' | 'fused' (experimental:
+    # transpose-free; blocked by a Mosaic shape-cast limit on compiled TPU)
 
     @property
     def grid_size(self) -> int:
