@@ -171,6 +171,10 @@ def attention_qkv_fused(
     ).reshape(B, N, nH, kw).astype(qkv.dtype)
     tq = N if N <= 1024 else TQ_GLOBAL
     use_pallas = (
-        not force_xla and jax.default_backend() == "tpu" and N % tq == 0 and N <= 1024
+        not force_xla
+        and jax.default_backend() == "tpu"
+        and N % tq == 0
+        and N <= 1024
+        and nH % 8 == 0  # compiled Mosaic: -2 block dim must be %8
     ) or (interpret and not force_xla)
     return _fused(qkv, rel_h, rel_w, scale, nH, use_pallas, interpret)
