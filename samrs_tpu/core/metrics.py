@@ -38,10 +38,10 @@ class AverageMeter:
 def intersection_and_union(
     pred: jnp.ndarray, target: jnp.ndarray, num_classes: int, ignore_index: int = 255
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-class intersection / union / target histograms.
+    """Per-class intersection / target / union histograms.
 
     jit-compatible equivalent of ED/utils.py:24-53 (`intersectionAndUnionGPU`).
-    Returns (intersection, union, target_area), each shape (num_classes,).
+    Returns (intersection, target_area, union), each shape (num_classes,).
     """
     pred = pred.reshape(-1)
     target = target.reshape(-1)

@@ -9,7 +9,7 @@ callables (albumentations is not a dependency).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np
@@ -27,17 +27,44 @@ def _resize(img: np.ndarray, hw: Tuple[int, int], is_mask: bool) -> np.ndarray:
 
 @dataclass
 class TrainAugment:
-    """Random scale -> pad -> random crop -> flips -> rot90 -> photometric."""
+    """Random scale -> pad -> random crop -> flips -> rot90 -> photometric.
+
+    Thread safety: DataLoader calls transforms from a ThreadPoolExecutor and
+    numpy Generators are NOT thread-safe, so each worker thread draws from its
+    own Generator spawned deterministically from `seed` (SeedSequence([seed, i])
+    for the i-th thread to touch this instance).  Passing an explicit `rng`
+    bypasses this (single-threaded/test use only).
+    """
 
     size: int = 224
     scale_limit: Tuple[float, float] = (-0.5, 1.0)
     scale_p: float = 0.5
     photo_p: float = 0.3
     ignore_label: int = 255
-    rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(0))
+    seed: int = 0
+    rng: Optional[np.random.Generator] = None
+
+    def __post_init__(self) -> None:
+        import threading
+
+        self._local = threading.local()
+        self._spawn_lock = threading.Lock()
+        self._n_spawned = 0
+
+    def _thread_rng(self) -> np.random.Generator:
+        if self.rng is not None:
+            return self.rng
+        r = getattr(self._local, "rng", None)
+        if r is None:
+            with self._spawn_lock:
+                i = self._n_spawned
+                self._n_spawned += 1
+            r = np.random.default_rng(np.random.SeedSequence([self.seed, i]))
+            self._local.rng = r
+        return r
 
     def __call__(self, image: np.ndarray, mask: np.ndarray):
-        r = self.rng
+        r = self._thread_rng()
         h, w = image.shape[:2]
         if r.random() < self.scale_p:
             s = 1.0 + r.uniform(*self.scale_limit)

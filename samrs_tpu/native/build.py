@@ -29,9 +29,15 @@ def get_rle_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("SAMRS_NO_NATIVE"):
         return None
     src = os.path.join(os.path.dirname(__file__), "rle_ext.c")
-    so = os.path.join(_build_dir(), "librle_ext.so")
+    # Cache key = source content hash (mtime is unreliable: git checkouts do
+    # not preserve it, so an mtime gate could load a stale binary).
+    import hashlib
+
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    so = os.path.join(_build_dir(), f"librle_ext_{tag}.so")
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        if not os.path.exists(so):
             for cc in ("cc", "gcc", "clang"):
                 try:
                     subprocess.run(

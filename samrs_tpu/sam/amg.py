@@ -10,6 +10,13 @@ Behavioral reference: GD/segment_anything/utils/amg.py —
   * batched_mask_to_box (:303-346)
 
 Plus box NMS (the reference leans on torchvision.ops.batched_nms).
+
+Porting note: `MaskData` and the grid/crop helpers (`build_point_grid`,
+`generate_crop_boxes`, `calculate_stability_score`) are adapted ports of the
+reference's utils/amg.py:16-76,156-235 — same method structure and API shape,
+with torch branches removed and numpy throughout.  This file is the one
+intentional API-parity port in the repo (the AMG utility container IS the
+public interface users depend on); everything else is re-designed.
 """
 
 from __future__ import annotations

@@ -48,12 +48,19 @@ class SamExportModel:
         def fn(variables, image_embeddings, point_coords, point_labels, mask_input,
                has_mask_input):
             g4 = cfg.grid_size * 4
-            mask_in = mask_input.reshape(-1, g4, g4, 1) * has_mask_input
-            sparse, dense = model.apply(
+            mask_in = mask_input.reshape(-1, g4, g4, 1)
+            sparse, dense_masked = model.apply(
                 variables, point_coords, point_labels, mask_in,
                 method=Sam.encode_prompts,
             )
-            # blend dense mask embedding with no-mask embedding by has_mask
+            # Blend dense embeddings by has_mask (onnx.py:69-74 _embed_masks):
+            # has_mask * mask_downscaling(mask_input) + (1-has_mask) * no_mask_embed.
+            _, dense_nomask = model.apply(
+                variables, point_coords, point_labels, None,
+                method=Sam.encode_prompts,
+            )
+            h = has_mask_input.reshape(-1, 1, 1, 1)
+            dense = h * dense_masked + (1.0 - h) * dense_nomask
             low_res, iou = model.apply(
                 variables, image_embeddings, sparse, dense, multimask,
                 method=Sam.decode_masks,

@@ -232,11 +232,27 @@ def load_torch_swin_backbone(
     return params, loaded, skipped
 
 
-def load_backbone_checkpoint(path: str, params: Dict[str, Any]):
-    """Load a torch .pth (MAE/IMP/timm) into backbone params, non-strict."""
+def load_backbone_checkpoint(path: str, params: Dict[str, Any],
+                             allow_pickle: bool = False):
+    """Load a torch .pth (MAE/IMP/timm) into backbone params, non-strict.
+
+    Tries the safe `weights_only=True` path first; full unpickling (arbitrary
+    code execution risk) requires an explicit `allow_pickle=True` opt-in.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} needs full unpickling (weights_only=True failed: {e}); "
+                "re-call with allow_pickle=True if you trust this checkpoint"
+            ) from e
+        import warnings
+
+        warnings.warn(f"unpickling {path} with weights_only=False (allow_pickle)")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model", "module"):
         if isinstance(sd, dict) and key in sd:
             sd = sd[key]

@@ -72,7 +72,7 @@ def run_finetune(
         root = os.path.join(cfg.data.root, cfg.dataset)
         dataset_trn = ds_cls(
             root, os.path.join(root, "images"), os.path.join(root, "labels"),
-            split="trn", transform=TrainAugment(size, rng=np.random.default_rng(cfg.seed)),
+            split="trn", transform=TrainAugment(size, seed=cfg.seed),
         )
         dataset_val = ds_cls(
             root, os.path.join(root, "images"), os.path.join(root, "labels"),

@@ -59,13 +59,15 @@ def proportional_batch_sizes(datasets: Sequence[str], global_batch: int) -> Dict
 
 
 def build_datasets(cfg: PretrainConfig, split: str):
-    aug = (
-        TrainAugment(size=cfg.data.image_size, rng=np.random.default_rng(cfg.seed))
-        if split == "trn"
-        else EvalAugment(size=cfg.data.image_size)
-    )
     out = {}
-    for name in cfg.data.datasets:
+    for i, name in enumerate(cfg.data.datasets):
+        # per-dataset seed; TrainAugment additionally spawns per-thread
+        # generators internally (numpy Generators are not thread-safe)
+        aug = (
+            TrainAugment(size=cfg.data.image_size, seed=cfg.seed * 1000 + i)
+            if split == "trn"
+            else EvalAugment(size=cfg.data.image_size)
+        )
         sub, img_dir, lbl_dir, ext = DATASET_LAYOUT[name]
         root = os.path.join(cfg.data.root, sub)
         out[name] = SegmentationDataset(

@@ -37,6 +37,30 @@ def test_export_mask_input_changes_output(tiny_sam):
     assert not np.allclose(np.asarray(m0), np.asarray(m1))
 
 
+def test_export_no_mask_matches_predict(tiny_sam):
+    """has_mask_input=0 must reproduce Sam.predict(mask_inputs=None) exactly —
+    the exported decoder blends no_mask_embed, not mask_downscaling(zeros)
+    (reference SamOnnxModel._embed_masks, onnx.py:69-74)."""
+    from samrs_tpu.sam.export import SamExportModel
+    from samrs_tpu.sam.sam import Sam
+
+    model, variables = tiny_sam
+    wrapper = SamExportModel(model, variables)
+    emb, pc, pl, mi, hm = wrapper.example_inputs()
+    pc = pc.at[0, 0].set(jnp.asarray([20.0, 12.0]))
+    pl = pl.at[0, 0].set(1)
+    pl = pl.at[0, 1].set(-1)
+    # garbage in the (unused) mask input must not leak through when has_mask=0
+    mi = jnp.ones_like(mi) * 7.0
+    _, iou_e, low_e = wrapper(emb, pc, pl, mi, jnp.zeros_like(hm))
+
+    low_p, iou_p = model.apply(
+        variables, emb, pc, pl, None, False, method=Sam.predict
+    )
+    np.testing.assert_allclose(np.asarray(low_e), np.asarray(low_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou_e), np.asarray(iou_p), atol=1e-6)
+
+
 def test_step_timer():
     from samrs_tpu.core.profiling import StepTimer
 
