@@ -87,6 +87,8 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8, batch: int =
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
+                "baseline": "estimate 1.8 img/s (PyTorch eager ViT-H, A100-class"
+                            " GPU; reference publishes no throughput number)",
             }
         )
     )

@@ -133,8 +133,9 @@ class SamConfig(Config):
     # TPU-specific knobs (no reference analogue)
     compute_dtype: str = "bfloat16"  # encoder matmuls; decode path stays fp32
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
-    window_attn_impl: str = "pallas"  # 'pallas' | 'xla' | 'fused' (experimental:
-    # transpose-free; blocked by a Mosaic shape-cast limit on compiled TPU)
+    window_attn_impl: str = "fused"  # 'fused' (transpose-free, heads as static
+    # lane slices — A/B on v5e B=4 ViT-H encode: 63.9 ms/img vs 88.7 'pallas',
+    # 117 'xla') | 'pallas' (per-head window kernel) | 'xla'
 
     @property
     def grid_size(self) -> int:

@@ -97,10 +97,6 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
 
         qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        # (B, H*W, 3, nH, hd) -> (3, B*nH, H*W, hd)
-        qkv = qkv_raw.reshape(B, H * W, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         if self.use_rel_pos:
             assert self.input_size is not None
@@ -122,17 +118,25 @@ class Attention(nn.Module):
             and self.window_attn_impl == "fused"
             and H * W <= 1024
         ):
-            # windowed layers: transpose-free path, heads via kernel block
-            # indexing (globals fall through to the flash kernel below — their
-            # (N, hb, hd) k/v blocks would exceed VMEM)
+            # windowed layers: transpose-free path — the qkv Dense output is
+            # consumed as-is, heads are static lane slices inside the kernel
+            # (globals fall through to the flash kernel below)
             from samrs_tpu.kernels.fused_attention import attention_qkv_fused
 
             Rh = get_rel_pos(H, H, rel_pos_h)
             Rw = get_rel_pos(W, W, rel_pos_w)
-            qkv4 = qkv_raw.reshape(B, H * W, 3, self.num_heads, head_dim)
-            out4 = attention_qkv_fused(qkv4, Rh, Rw, (H, W), scale)
-            out = out4.reshape(B, H, W, self.dim)
+            out = attention_qkv_fused(
+                qkv_raw.reshape(B, H * W, 3 * self.dim), Rh, Rw, (H, W), scale,
+                self.num_heads,
+            )
+            out = out.reshape(B, H, W, self.dim)
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
+
+        # (B, H*W, 3, nH, hd) -> (3, B*nH, H*W, hd) [the layout-copy path]
+        qkv = qkv_raw.reshape(B, H * W, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
         if self.use_flash and self.use_rel_pos and not self.is_initializing():
             Rh = get_rel_pos(H, H, rel_pos_h)
             Rw = get_rel_pos(W, W, rel_pos_w)
