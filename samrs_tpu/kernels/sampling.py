@@ -137,15 +137,16 @@ def dcnv3(
     # reference kernel-grid: dilation-spread taps centered on each output pixel
     ref_y = jnp.arange(Ho) * stride_h - pad_h + (dilation_h * (kernel_h - 1)) // 2 + 0.5
     ref_x = jnp.arange(Wo) * stride_w - pad_w + (dilation_w * (kernel_w - 1)) // 2 + 0.5
-    ky = (jnp.arange(kernel_h) - (kernel_h - 1) / 2.0) * dilation_h
-    kx = (jnp.arange(kernel_w) - (kernel_w - 1) / 2.0) * dilation_w
-    # build (Ho, Wo, K, 2) base sampling points
-    base_y = ref_y[:, None, None, None] + jnp.broadcast_to(
-        ky[:, None], (kernel_h, kernel_w)
-    ).reshape(1, 1, K, 1)
-    base_x = ref_x[None, :, None, None] + jnp.broadcast_to(
-        kx[None, :], (kernel_h, kernel_w)
-    ).reshape(1, 1, K, 1)
+    ky = jnp.arange(kernel_h) * dilation_h - (dilation_h * (kernel_h - 1)) // 2
+    kx = jnp.arange(kernel_w) * dilation_w - (dilation_w * (kernel_w - 1)) // 2
+    # tap order k = iw*kh + ih — the reference's _generate_dilation_grids uses
+    # torch.meshgrid(x_lin, y_lin) with default 'ij' indexing, i.e. the w-index
+    # varies SLOWEST (dcnv3_func.py:142-160); the learned offset/mask channels
+    # are laid out in that order, so ported weights require it
+    tap_y = jnp.broadcast_to(ky[None, :], (kernel_w, kernel_h)).reshape(1, 1, K, 1)
+    tap_x = jnp.broadcast_to(kx[:, None], (kernel_w, kernel_h)).reshape(1, 1, K, 1)
+    base_y = ref_y[:, None, None, None] + tap_y
+    base_x = ref_x[None, :, None, None] + tap_x
     base = jnp.concatenate(
         [jnp.broadcast_to(base_x, (Ho, Wo, K, 1)), jnp.broadcast_to(base_y, (Ho, Wo, K, 1))],
         axis=-1,

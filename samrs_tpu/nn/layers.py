@@ -47,7 +47,8 @@ class MLPBlock(nn.Module):
     """lin -> act -> lin (common.py:13-28)."""
 
     mlp_dim: int
-    act: Callable = nn.gelu
+    # exact (erf) GELU: torch nn.GELU default, used by every reference MLP
+    act: Callable = staticmethod(lambda x: nn.gelu(x, approximate=False))
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -103,9 +103,9 @@ class MaskDecoder(nn.Module):
         src = src.reshape(B, h, w, c)
         up = self.upscale_conv1(src)
         up = self.upscale_ln(up)
-        up = nn.gelu(up)
+        up = nn.gelu(up, approximate=False)
         up = self.upscale_conv2(up)
-        up = nn.gelu(up)  # (B, 4h, 4w, c/8)
+        up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, c/8)
 
         hyper_in = jnp.stack(
             [

@@ -120,10 +120,10 @@ class PromptEncoder(nn.Module):
         """(B, 4*H, 4*W, 1) low-res masks -> (B, H, W, embed_dim) (:102-105)."""
         x = self.mask_conv1(masks)
         x = self.mask_ln1(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = self.mask_conv2(x)
         x = self.mask_ln2(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return self.mask_conv3(x)
 
     def __call__(

@@ -50,7 +50,7 @@ class DCNv3Module(nn.Module):
             dtype=self.dtype, name="dw_conv",
         )(x)
         f = nn.LayerNorm(epsilon=1e-6, name="dw_norm")(f)
-        f = nn.gelu(f)
+        f = nn.gelu(f, approximate=False)
         offset = nn.Dense(G * K * 2, dtype=jnp.float32, name="offset",
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros)(f)
@@ -111,11 +111,11 @@ class InternImage(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
         img = x
         # stem: stride 4 (intern_image.py:239-277)
-        x = nn.Conv(self.channels // 2, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.Conv(self.channels // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="stem_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="stem_norm1")(x)
-        x = nn.gelu(x)
-        x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="stem_conv2")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="stem_norm2")(x)
 
@@ -131,16 +131,21 @@ class InternImage(nn.Module):
                     dtype=self.dtype, name=f"level{lvl}_block{b}",
                 )(x, train)
                 blk += 1
+            # per-level out-norm, applied before BOTH the feature output and
+            # the downsample (intern_image.py:500-527, post_norm=False path)
+            x = nn.LayerNorm(epsilon=1e-6, name=f"level_norm{lvl}")(x)
             feats.append(x)
             if lvl < len(self.depths) - 1:
-                x = nn.Conv(ch * 2, (3, 3), strides=(2, 2), padding="SAME",
-                            dtype=self.dtype, name=f"downsample{lvl}")(x)
+                # reference DownsampleLayer conv has no bias (intern_image.py:286)
+                x = nn.Conv(ch * 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            use_bias=False, dtype=self.dtype, name=f"downsample{lvl}")(x)
                 x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{lvl}")(x)
         return [img] + feats
 
 
 def internimage_t(dtype: Any = jnp.float32, **kw: Any) -> InternImage:
+    # layer_scale=1.0 matches the reference construction (ED/models.py:89-102)
     defaults = dict(channels=64, depths=(4, 4, 18, 4), groups=(4, 8, 16, 32),
-                    drop_path_rate=0.2)
+                    drop_path_rate=0.2, layer_scale=1.0)
     defaults.update(kw)
     return InternImage(dtype=dtype, **defaults)

@@ -154,7 +154,7 @@ class ConvFFN(nn.Module):
             parts.append(seg.reshape(B, h * w, self.hidden))
             start += h * w
         y = jnp.concatenate(parts, axis=1)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         return nn.Dense(C, dtype=self.dtype, name="fc2")(y)
 
 

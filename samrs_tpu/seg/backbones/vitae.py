@@ -128,7 +128,7 @@ class ReductionCell(nn.Module):
                 padding=((pad, pad), (pad, pad)), kernel_dilation=(d, d),
                 dtype=self.dtype, name=f"prm_conv{d}",
             )(x)
-            branches.append(nn.gelu(y)[:, :Ho, :Wo])
+            branches.append(nn.gelu(y, approximate=False)[:, :Ho, :Wo])
         prm = jnp.concatenate(branches, axis=-1)  # (B, Ho, Wo, 4*embed)
 
         # PCM path on the raw input, downsampling to match

@@ -232,6 +232,212 @@ def load_torch_swin_backbone(
     return params, loaded, skipped
 
 
+def load_torch_resnet_backbone(
+    state_dict: Mapping[str, Any],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any], List[str], List[str]]:
+    """Non-strict load of a torchvision/mmseg ResNet state dict.
+
+    The reference initializes its mmseg ResNet-50 from torchvision
+    `resnet50-19c8e357.pth` or the RSP checkpoint (ED/models.py:201-206); both
+    use torchvision key names (`conv1/bn1`, `layer{l}.{b}.conv{j}/bn{j}`,
+    `layer{l}.{b}.downsample.{0,1}`).  BatchNorm running statistics load into
+    flax `batch_stats` (mean/var)."""
+    import copy
+
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    def try_set(tree, flax_path: List[str], value: np.ndarray, tk: str) -> None:
+        node = tree
+        for k in flax_path[:-1]:
+            if k not in node:
+                skipped.append(tk)
+                return
+            node = node[k]
+        leaf = flax_path[-1]
+        if leaf not in node or tuple(np.shape(node[leaf])) != tuple(value.shape):
+            skipped.append(tk)
+            return
+        node[leaf] = value
+        loaded.append(tk)
+
+    def set_bn(prefix: List[str], torch_prefix: str) -> None:
+        for t_leaf, tree, f_leaf in (
+            ("weight", params, "scale"),
+            ("bias", params, "bias"),
+            ("running_mean", batch_stats, "mean"),
+            ("running_var", batch_stats, "var"),
+        ):
+            tk = f"{torch_prefix}.{t_leaf}"
+            if tk in sd:
+                try_set(tree, prefix + [f_leaf], sd[tk], tk)
+        consumed.update(
+            f"{torch_prefix}.{s}" for s in
+            ("weight", "bias", "running_mean", "running_var", "num_batches_tracked")
+        )
+
+    consumed: set = set()
+    if "conv1.weight" in sd:
+        try_set(params, ["stem_conv", "kernel"], sd["conv1.weight"].transpose(2, 3, 1, 0),
+                "conv1.weight")
+        consumed.add("conv1.weight")
+    set_bn(["stem_bn"], "bn1")
+    for tk, v in sd.items():
+        if tk in consumed:
+            continue
+        m = re.match(r"layer(\d+)\.(\d+)\.conv(\d)\.weight", tk)
+        if m:
+            blk = f"layer{m.group(1)}_block{m.group(2)}"
+            try_set(params, [blk, f"conv{m.group(3)}", "kernel"],
+                    v.transpose(2, 3, 1, 0), tk)
+            continue
+        m = re.match(r"layer(\d+)\.(\d+)\.bn(\d)\.", tk)
+        if m:
+            blk = f"layer{m.group(1)}_block{m.group(2)}"
+            set_bn([blk, f"bn{m.group(3)}"], tk.rsplit(".", 1)[0])
+            continue
+        m = re.match(r"layer(\d+)\.(\d+)\.downsample\.0\.weight", tk)
+        if m:
+            blk = f"layer{m.group(1)}_block{m.group(2)}"
+            try_set(params, [blk, "downsample_conv", "kernel"],
+                    v.transpose(2, 3, 1, 0), tk)
+            continue
+        m = re.match(r"layer(\d+)\.(\d+)\.downsample\.1\.", tk)
+        if m:
+            blk = f"layer{m.group(1)}_block{m.group(2)}"
+            set_bn([blk, "downsample_bn"], tk.rsplit(".", 1)[0])
+            continue
+        if tk.endswith("num_batches_tracked") or tk.startswith("fc."):
+            continue  # classifier head / BN step counters: intentionally dropped
+        if tk not in consumed:
+            skipped.append(tk)
+    return params, batch_stats, sorted(set(loaded)), sorted(set(skipped) - consumed)
+
+
+def _make_try_set(params, loaded, skipped):
+    def try_set(flax_path: List[str], value: np.ndarray, tk: str) -> None:
+        node = params
+        for k in flax_path[:-1]:
+            if k not in node:
+                skipped.append(tk)
+                return
+            node = node[k]
+        leaf = flax_path[-1]
+        if leaf not in node or tuple(np.shape(node[leaf])) != tuple(value.shape):
+            skipped.append(tk)
+            return
+        node[leaf] = value
+        loaded.append(tk)
+
+    return try_set
+
+
+def load_torch_internimage_backbone(
+    state_dict: Mapping[str, Any], params: Dict[str, Any]
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Non-strict load of an official InternImage state dict (the reference
+    init path loads `internimage_t_1k_224.pth`, ED/models.py:246-248).
+
+    Key layout (ED/backbone/intern_image.py): `patch_embed.conv{1,2}` +
+    `norm{1,2}.1` (LN wrapped in a permute Sequential), `levels.{i}.blocks.{b}`
+    with `norm{1,2}.0`, `gamma{1,2}` (layer scale), `dcn.*`
+    (ops_dcnv3/modules/dcnv3.py:221-320), `mlp.fc{1,2}`, and
+    `levels.{i}.downsample.{conv,norm.1}`."""
+    import copy
+
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params = copy.deepcopy(params)
+    loaded: List[str] = []
+    skipped: List[str] = []
+    try_set = _make_try_set(params, loaded, skipped)
+
+    stem = {
+        "patch_embed.conv1.weight": (["stem_conv1", "kernel"], "conv"),
+        "patch_embed.conv1.bias": (["stem_conv1", "bias"], None),
+        "patch_embed.norm1.1.weight": (["stem_norm1", "scale"], None),
+        "patch_embed.norm1.1.bias": (["stem_norm1", "bias"], None),
+        "patch_embed.conv2.weight": (["stem_conv2", "kernel"], "conv"),
+        "patch_embed.conv2.bias": (["stem_conv2", "bias"], None),
+        "patch_embed.norm2.1.weight": (["stem_norm2", "scale"], None),
+        "patch_embed.norm2.1.bias": (["stem_norm2", "bias"], None),
+    }
+    block_table = {
+        "norm1.0.weight": (["norm1", "scale"], None),
+        "norm1.0.bias": (["norm1", "bias"], None),
+        "norm2.0.weight": (["norm2", "scale"], None),
+        "norm2.0.bias": (["norm2", "bias"], None),
+        "gamma1": (["gamma1"], None),
+        "gamma2": (["gamma2"], None),
+        "dcn.input_proj.weight": (["dcn", "input_proj", "kernel"], "T"),
+        "dcn.input_proj.bias": (["dcn", "input_proj", "bias"], None),
+        "dcn.output_proj.weight": (["dcn", "output_proj", "kernel"], "T"),
+        "dcn.output_proj.bias": (["dcn", "output_proj", "bias"], None),
+        "dcn.offset.weight": (["dcn", "offset", "kernel"], "T"),
+        "dcn.offset.bias": (["dcn", "offset", "bias"], None),
+        "dcn.mask.weight": (["dcn", "mask", "kernel"], "T"),
+        "dcn.mask.bias": (["dcn", "mask", "bias"], None),
+        "dcn.dw_conv.0.weight": (["dcn", "dw_conv", "kernel"], "conv"),
+        "dcn.dw_conv.0.bias": (["dcn", "dw_conv", "bias"], None),
+        "dcn.dw_conv.1.1.weight": (["dcn", "dw_norm", "scale"], None),
+        "dcn.dw_conv.1.1.bias": (["dcn", "dw_norm", "bias"], None),
+        "mlp.fc1.weight": (["mlp", "lin1", "kernel"], "T"),
+        "mlp.fc1.bias": (["mlp", "lin1", "bias"], None),
+        "mlp.fc2.weight": (["mlp", "lin2", "kernel"], "T"),
+        "mlp.fc2.bias": (["mlp", "lin2", "bias"], None),
+    }
+
+    def convert(v, op):
+        if op == "T":
+            return v.T
+        if op == "conv":
+            return v.transpose(2, 3, 1, 0)
+        return v
+
+    for tk, v in sd.items():
+        if tk in stem:
+            path, op = stem[tk]
+            try_set(path, convert(v, op), tk)
+            continue
+        m = re.match(r"levels\.(\d+)\.blocks\.(\d+)\.(.*)", tk)
+        if m:
+            i, b, rest = m.group(1), m.group(2), m.group(3)
+            if rest in block_table:
+                path, op = block_table[rest]
+                try_set([f"level{i}_block{b}"] + path, convert(v, op), tk)
+            else:
+                skipped.append(tk)
+            continue
+        m = re.match(r"levels\.(\d+)\.norm\.0\.(weight|bias)", tk)
+        if m:
+            try_set([f"level_norm{m.group(1)}",
+                     "scale" if m.group(2) == "weight" else "bias"], v, tk)
+            continue
+        m = re.match(r"levels\.(\d+)\.downsample\.conv\.weight", tk)
+        if m:
+            try_set([f"downsample{m.group(1)}", "kernel"], convert(v, "conv"), tk)
+            continue
+        m = re.match(r"levels\.(\d+)\.downsample\.norm\.1\.(weight|bias)", tk)
+        if m:
+            try_set([f"downsample_norm{m.group(1)}",
+                     "scale" if m.group(2) == "weight" else "bias"], v, tk)
+            continue
+        if tk.startswith(("conv_head.", "head.", "norm.")):  # cls head: dropped
+            continue
+        skipped.append(tk)
+    return params, loaded, skipped
+
+
 def load_backbone_checkpoint(path: str, params: Dict[str, Any],
                              allow_pickle: bool = False):
     """Load a torch .pth (MAE/IMP/timm) into backbone params, non-strict.

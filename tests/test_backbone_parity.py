@@ -1,0 +1,118 @@
+"""Module-level torch parity for the segmentation backbones.
+
+Instantiates the REFERENCE ED/backbone torch modules (timm/mmcv/mmengine
+stubbed faithfully, compiled ops routed to the reference's own pure-torch
+oracles — see tests/_torch_ref_backbones.py), ports random-init weights
+through samrs_tpu.seg.port, and asserts feature parity.  This answers the
+condensation-fidelity question for the backbones that were re-designed
+rather than transcribed, and proves the IMP/pretrained checkpoints of all
+reference backbone families can be grafted."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from _torch_ref_backbones import import_ed_backbone
+
+torch = pytest.importorskip("torch")
+
+
+def _to_nchw(x):
+    return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)).contiguous()
+
+
+def _randomize_zero_params(module, seed, std=0.02):
+    """Give near-zero-init parameters (offset/mask nets, rel-pos tables...)
+    non-degenerate values so parity actually exercises those paths."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            if p.numel() and float(p.abs().max()) == 0.0:
+                p.copy_(torch.randn(p.shape, generator=gen) * std)
+
+
+def test_internimage_t_parity_and_port():
+    """Reference InternImage-T (ED/backbone/intern_image.py:528, built as
+    ED/models.py:89-102 with layer_scale=1.0) on its own pure-torch DCNv3
+    twin vs our flax InternImage through the official-checkpoint porter."""
+    from samrs_tpu.seg.backbones.internimage import internimage_t
+    from samrs_tpu.seg.port import load_torch_internimage_backbone
+
+    ii = import_ed_backbone("intern_image")
+    torch.manual_seed(1)
+    tm = ii.InternImage(
+        core_op="DCNv3_pytorch", channels=64, depths=[4, 4, 18, 4],
+        groups=[4, 8, 16, 32], mlp_ratio=4.0, drop_path_rate=0.2,
+        norm_layer="LN", layer_scale=1.0, offset_scale=1.0, post_norm=False,
+        with_cp=False, out_indices=(0, 1, 2, 3),
+    )
+    tm.eval()
+    _randomize_zero_params(tm, seed=2, std=0.02)
+
+    fm = internimage_t()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = fm.init({"params": jnp.zeros(2, jnp.uint32)}, jnp.asarray(x), False)
+    assert "batch_stats" not in variables  # LN-only backbone
+
+    params, loaded, skipped = load_torch_internimage_backbone(
+        tm.state_dict(), variables["params"]
+    )
+    assert not skipped, f"unexpectedly skipped: {skipped[:8]}"
+    assert len(loaded) > 500
+
+    with torch.no_grad():
+        t_outs = tm(_to_nchw(x))
+    f_outs = fm.apply({"params": params}, jnp.asarray(x), False)
+    for i in range(1, 5):
+        t = t_outs[i].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f_outs[i])
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(
+            t, f, atol=2e-4, rtol=1e-3,
+            err_msg=f"stage c{i} diverges from reference InternImage-T",
+        )
+
+
+def test_resnet50_parity_and_port():
+    """Reference mmseg ResNet-50 (ED/backbone/resnet_mmseg_10.py:314, built as
+    ED/models.py:71) vs our flax ResNet through the torchvision-layout porter."""
+    from samrs_tpu.seg.backbones.resnet import resnet50
+    from samrs_tpu.seg.port import load_torch_resnet_backbone
+
+    rn = import_ed_backbone("resnet_mmseg_10")
+    tm = rn.ResNet(50, out_indices=(0, 1, 2, 3), norm_eval=False)
+    tm.eval()  # mmseg train() does not return self — never chain
+    # non-trivial running stats so eval-mode BN is actually exercised
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(1.0 + torch.rand(buf.shape, generator=gen) * 0.5)
+
+    fm = resnet50()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = fm.init({"params": jnp.zeros(2, jnp.uint32)}, jnp.asarray(x), False)
+
+    params, batch_stats, loaded, skipped = load_torch_resnet_backbone(
+        tm.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    assert len(loaded) >= 265, f"only {len(loaded)} tensors loaded"
+    assert not skipped, f"unexpectedly skipped: {skipped[:8]}"
+
+    with torch.no_grad():
+        t_outs = tm(_to_nchw(x))
+    f_outs = fm.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(x), False)
+    assert len(t_outs) == len(f_outs) == 5
+    for i in range(1, 5):
+        t = t_outs[i].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f_outs[i])
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(
+            t, f, atol=1e-4, rtol=1e-4,
+            err_msg=f"stage c{i} diverges from reference ResNet-50",
+        )
