@@ -1,15 +1,22 @@
 """ViT-Adapter-B backbone: plain ViT + spatial prior + deformable interactions.
 
 Behavioral reference: ED/backbone/vit_adapter.py
-  * TIMM ViT core (:522) with abs pos-embed, full attention
+  * vendored-TIMM ViT core (:522) with abs pos-embed (cls slot dropped,
+    bicubic-resized, :700-706), layer-scale gammas in every block
+    (layer_scale=True default, :482-529)
   * SpatialPriorModule conv pyramid -> c1(s4)/c2(s8)/c3(s16)/c4(s32) projected
-    to embed dim (:246)
-  * Injector (multi-scale conv features -> ViT tokens) and Extractor (ViT
-    tokens -> conv features) cross-attention via MSDeformAttn (:101-164),
-    InteractionBlock x4 over the 12 ViT blocks (:166)
-  * deform_inputs reference points over the level grids (:24-59)
-  * add_vit_feature: final ViT map added to every scale; c1 += up(c2) (:690+)
-  * out_channels (3, 768, 768, 768, 768) (:682)
+    to embed dim (:246-320); level_embed added to c2/c3/c4 (:713-717)
+  * Injector (multi-scale conv features -> ViT tokens, gamma-scaled) and
+    Extractor (ViT tokens -> conv features + ConvFFN with one SHARED depthwise
+    conv across levels, :60-100) via MSDeformAttn; InteractionBlock x4 over
+    the 12 ViT blocks (:166-244); the LAST interaction appends 2 extra
+    extractors (use_extra_extractor=True, :668-676)
+  * add_vit_feature: each interaction's ViT map is added to the matching
+    scale (x1 up4 / x2 up2 / x3 / x4 down2), NOT the final map everywhere
+    (:747-752)
+  * final norms are (Sync)BatchNorm, not LayerNorm (:671-674)
+  * out_channels (3, 768, 768, 768, 768); built as ED/models.py:105-122
+    (deform_num_heads 12, deform_ratio 0.5, cffn_ratio 0.25, dpr 0.3)
 
 The MSDeformAttn module mirrors ops/modules/ms_deform_attn.py:28 (value proj,
 per-query offset/weight linears with the rotated-grid bias init, softmax over
@@ -112,17 +119,17 @@ class SpatialPriorModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         def conv_bn_relu(x, ch, stride, name):
-            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype, name=name)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=name + "_bn")(x)
             return nn.relu(x)
 
-        # stem: 3 convs + maxpool -> stride 4
+        # stem: 3 convs + 3x3/s2 maxpool -> stride 4
         s = conv_bn_relu(x, self.inplanes, 2, "stem1")
         s = conv_bn_relu(s, self.inplanes, 1, "stem2")
         s = conv_bn_relu(s, self.inplanes, 1, "stem3")
-        s = nn.max_pool(s, (2, 2), strides=(2, 2))
+        s = nn.max_pool(s, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         c1 = s
         c2 = conv_bn_relu(c1, 2 * self.inplanes, 2, "conv2")
         c3 = conv_bn_relu(c2, 4 * self.inplanes, 2, "conv3")
@@ -132,8 +139,8 @@ class SpatialPriorModule(nn.Module):
 
 
 class ConvFFN(nn.Module):
-    """FFN with a 3x3 depthwise conv on the multi-scale token stack
-    (vit_adapter.py Extractor ffn)."""
+    """FFN with ONE shared 3x3 depthwise conv applied to every level of the
+    multi-scale token stack (vit_adapter.py:60-100, DWConv)."""
 
     hidden: int
     spatial_shapes: Sequence[Tuple[int, int]]
@@ -143,19 +150,48 @@ class ConvFFN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, S, C = x.shape
         y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        # depthwise conv per level
+        dw = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                     feature_group_count=self.hidden, dtype=self.dtype, name="dwconv")
         parts = []
         start = 0
         for h, w in self.spatial_shapes:
             seg = y[:, start : start + h * w].reshape(B, h, w, self.hidden)
-            seg = nn.Conv(self.hidden, (3, 3), padding="SAME",
-                          feature_group_count=self.hidden, dtype=self.dtype,
-                          name=f"dw_{h}x{w}")(seg)
-            parts.append(seg.reshape(B, h * w, self.hidden))
+            parts.append(dw(seg).reshape(B, h * w, self.hidden))
             start += h * w
         y = jnp.concatenate(parts, axis=1)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(C, dtype=self.dtype, name="fc2")(y)
+
+
+class Extractor(nn.Module):
+    """ViT tokens -> conv features cross-attention + ConvFFN
+    (vit_adapter.py:101-137)."""
+
+    d_model: int
+    num_heads: int
+    n_points: int
+    deform_ratio: float
+    cffn_ratio: float
+    spatial_shapes_c: Sequence[Tuple[int, int]]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c, ref_c, t, shapes_x):
+        ext = MSDeformAttnModule(
+            self.d_model, 1, self.num_heads, self.n_points, self.deform_ratio,
+            dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(epsilon=1e-6, name="query_norm")(c),
+            ref_c,
+            nn.LayerNorm(epsilon=1e-6, name="feat_norm")(t),
+            shapes_x,
+        )
+        c = c + ext
+        c = c + ConvFFN(
+            int(self.d_model * self.cffn_ratio), self.spatial_shapes_c,
+            dtype=self.dtype, name="ffn",
+        )(nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(c))
+        return c
 
 
 class ViTAdapter(nn.Module):
@@ -169,8 +205,10 @@ class ViTAdapter(nn.Module):
     deform_num_heads: int = 12
     n_points: int = 4
     deform_ratio: float = 0.5
-    drop_path_rate: float = 0.1
+    cffn_ratio: float = 0.25
+    drop_path_rate: float = 0.3
     add_vit_feature: bool = True
+    use_extra_extractor: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -183,11 +221,17 @@ class ViTAdapter(nn.Module):
         B = x.shape[0]
         D = self.embed_dim
 
-        # spatial prior
+        # spatial prior + level embeddings (vit_adapter.py:713-717)
         c1, c2, c3, c4 = SpatialPriorModule(64, D, dtype=self.dtype, name="spm")(x, train)
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0), (3, D))
         shapes_c = [c2.shape[1:3], c3.shape[1:3], c4.shape[1:3]]
         c = jnp.concatenate(
-            [c2.reshape(B, -1, D), c3.reshape(B, -1, D), c4.reshape(B, -1, D)], axis=1
+            [
+                c2.reshape(B, -1, D) + level_embed[0],
+                c3.reshape(B, -1, D) + level_embed[1],
+                c4.reshape(B, -1, D) + level_embed[2],
+            ],
+            axis=1,
         )
 
         # ViT patch embed
@@ -209,8 +253,10 @@ class ViTAdapter(nn.Module):
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         t = t.reshape(B, Hp * Wp, D)
+        vit_outs: List[jnp.ndarray] = []
+        n_inter = len(self.interaction_indexes)
         for ib, (lo, hi) in enumerate(self.interaction_indexes):
-            # Injector: conv features -> ViT tokens
+            # Injector: conv features -> ViT tokens (gamma-scaled, init 0)
             gamma = self.param(f"injector{ib}_gamma", nn.initializers.zeros, (D,))
             inj = MSDeformAttnModule(
                 D, 3, self.deform_num_heads, self.n_points, self.deform_ratio,
@@ -222,32 +268,31 @@ class ViTAdapter(nn.Module):
                 shapes_c,
             )
             t = t + gamma * inj
-            # ViT blocks of this group
+            # ViT blocks of this group (vendored-TIMM Block with layer scale)
             t2d = t.reshape(B, Hp, Wp, D)
             for i in range(lo, hi + 1):
+                g1 = self.param(f"blocks_{i}_gamma1", nn.initializers.ones, (D,))
+                g2 = self.param(f"blocks_{i}_gamma2", nn.initializers.ones, (D,))
                 y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm1")(t2d)
                 y = PlainAttention(D, self.num_heads, dtype=self.dtype,
                                    name=f"blocks_{i}_attn")(y)
-                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp1")(y, not train)
+                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp1")(g1 * y, not train)
                 y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm2")(t2d)
                 y = MLPBlock(int(D * self.mlp_ratio), dtype=self.dtype,
                              name=f"blocks_{i}_mlp")(y)
-                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp2")(y, not train)
+                t2d = t2d + DropPath(float(dpr[i]), name=f"blocks_{i}_dp2")(g2 * y, not train)
             t = t2d.reshape(B, Hp * Wp, D)
+            vit_outs.append(t2d)
             # Extractor: ViT tokens -> conv features (+ ConvFFN)
-            ext = MSDeformAttnModule(
-                D, 1, self.deform_num_heads, self.n_points, self.deform_ratio,
-                dtype=self.dtype, name=f"extractor{ib}",
-            )(
-                nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_qnorm")(c),
-                ref_c,
-                nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_vnorm")(t),
-                shapes_x,
-            )
-            c = c + ext
-            c = c + ConvFFN(
-                int(D * 0.25 * 4), shapes_c, dtype=self.dtype, name=f"extractor{ib}_ffn"
-            )(nn.LayerNorm(epsilon=1e-6, name=f"extractor{ib}_fnorm")(c))
+            c = Extractor(D, self.deform_num_heads, self.n_points, self.deform_ratio,
+                          self.cffn_ratio, shapes_c, dtype=self.dtype,
+                          name=f"extractor{ib}")(c, ref_c, t, shapes_x)
+            if ib == n_inter - 1 and self.use_extra_extractor:
+                for j in range(2):
+                    c = Extractor(D, self.deform_num_heads, self.n_points,
+                                  self.deform_ratio, self.cffn_ratio, shapes_c,
+                                  dtype=self.dtype, name=f"extra_extractor{j}",
+                                  )(c, ref_c, t, shapes_x)
 
         # split + reshape the conv branch
         (h2, w2), (h3, w3), (h4, w4) = shapes_c
@@ -258,20 +303,34 @@ class ViTAdapter(nn.Module):
         f1 = c1 + nn.ConvTranspose(D, (2, 2), strides=(2, 2), dtype=self.dtype,
                                    name="up")(f2)
         if self.add_vit_feature:
-            xf = t.reshape(B, Hp, Wp, D).astype(jnp.float32)
-            f1 = f1 + jax.image.resize(xf, f1.shape, "bilinear").astype(f1.dtype)
-            f2 = f2 + jax.image.resize(xf, f2.shape, "bilinear").astype(f2.dtype)
-            f3 = f3 + jax.image.resize(xf, f3.shape, "bilinear").astype(f3.dtype)
-            f4 = f4 + jax.image.resize(xf, f4.shape, "bilinear").astype(f4.dtype)
-        f1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(f1)
-        f2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(f2)
-        f3 = nn.LayerNorm(epsilon=1e-6, name="norm3")(f3)
-        f4 = nn.LayerNorm(epsilon=1e-6, name="norm4")(f4)
+            # each interaction's ViT map feeds the matching scale (:747-752);
+            # with a non-standard interaction count (tiny test configs) the
+            # final map feeds every scale
+            if len(vit_outs) == 4:
+                x1, x2, x3, x4 = [v.astype(jnp.float32) for v in vit_outs]
+            else:
+                x1 = x2 = x3 = x4 = vit_outs[-1].astype(jnp.float32)
+            # antialias=False: F.interpolate(align_corners=False) never
+            # low-pass filters, even on the 0.5x downscale to c4 (:747-752)
+            rs = lambda v, ref: jax.image.resize(v, ref.shape, "bilinear",
+                                                 antialias=False).astype(ref.dtype)
+            f1 = f1 + rs(x1, f1)
+            f2 = f2 + rs(x2, f2)
+            f3 = f3 + x3.astype(f3.dtype)
+            f4 = f4 + rs(x4, f4)
+        # final norms are BatchNorm in the reference (SyncBN -> global-batch BN)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       epsilon=1e-5, name=name)
+        f1 = bn("norm1")(f1)
+        f2 = bn("norm2")(f2)
+        f3 = bn("norm3")(f3)
+        f4 = bn("norm4")(f4)
         return [img, f1, f2, f3, f4]
 
 
 def vit_adapter_b(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> ViTAdapter:
     defaults = dict(patch_size=16, embed_dim=768, depth=12, num_heads=12,
-                    deform_num_heads=12, n_points=4, deform_ratio=0.5)
+                    deform_num_heads=12, n_points=4, deform_ratio=0.5,
+                    cffn_ratio=0.25, drop_path_rate=0.3)
     defaults.update(kw)
     return ViTAdapter(img_size=image_size, dtype=dtype, **defaults)

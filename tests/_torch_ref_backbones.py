@@ -79,11 +79,19 @@ def _timm_stub():
     layers.drop_path = drop_path
     layers.DropPath = DropPath
     layers.Mlp = Mlp
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.load_pretrained = lambda *a, **k: None
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn: fn
     models.layers = layers
+    models.helpers = helpers
+    models.registry = registry
     timm.models = models
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.models.helpers"] = helpers
+    sys.modules["timm.models.registry"] = registry
 
 
 def _mm_stubs():

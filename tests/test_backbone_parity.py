@@ -74,6 +74,138 @@ def test_internimage_t_parity_and_port():
         )
 
 
+def test_vitaev2_s_parity_and_port():
+    """Reference ViTAEv2-S (ED/backbone/ViTAE_Window_NoShift/base_model.py:307,
+    built as ED/models.py:83-84) vs our flax ViTAEv2 through the porter.
+    Covers both the swin-windowed stages and the T2T v-skip stages."""
+    from samrs_tpu.seg.backbones.vitae import vitaev2_s
+    from samrs_tpu.seg.port import load_torch_vitae_backbone
+
+    bm = import_ed_backbone("ViTAE_Window_NoShift.base_model")
+    torch.manual_seed(4)
+    tm = bm.vitaev2_s()
+    tm.eval()
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(1.0 + torch.rand(buf.shape, generator=gen) * 0.5)
+
+    fm = vitaev2_s()
+    rng = np.random.default_rng(6)
+    # 64 -> stage grids 16/8/4/2 (reference forward needs every grid even);
+    # 16x16 and 8x8 with window 7 exercise the window-pad path on both sides
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = fm.init({"params": jnp.zeros(2, jnp.uint32)}, jnp.asarray(x), False)
+
+    params, batch_stats, loaded, skipped = load_torch_vitae_backbone(
+        tm.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    assert not skipped, f"unexpectedly skipped: {skipped[:8]}"
+
+    with torch.no_grad():
+        t_outs = tm(_to_nchw(x))
+    f_outs = fm.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(x), False)
+    assert len(t_outs) == len(f_outs) == 5
+    for i in range(1, 5):
+        t = t_outs[i].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f_outs[i])
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(
+            t, f, atol=2e-4, rtol=1e-3,
+            err_msg=f"stage c{i} diverges from reference ViTAEv2-S",
+        )
+
+
+def test_vit_adapter_b_parity_and_port():
+    """Reference ViT-Adapter (ED/backbone/vit_adapter.py:641, built as
+    ED/models.py:105-122) with MSDeformAttn routed to the reference's own
+    pure-torch oracle, vs our flax ViTAdapter through the porter."""
+    from _torch_ref_backbones import import_ed_backbone, patched_ms_deform_attn
+
+    patched_ms_deform_attn()  # route the CUDA Function to the torch oracle
+    va = import_ed_backbone("vit_adapter")
+    from samrs_tpu.seg.backbones.vit_adapter import vit_adapter_b
+    from samrs_tpu.seg.port import load_torch_vit_adapter_backbone
+
+    torch.manual_seed(8)
+    tm = va.ViTAdapter(
+        img_size=64, pretrain_size=64, patch_size=16, embed_dim=768, depth=12,
+        num_heads=12, mlp_ratio=4, drop_path_rate=0.3, conv_inplane=64,
+        n_points=4, deform_num_heads=12, cffn_ratio=0.25, deform_ratio=0.5,
+        interaction_indexes=[[0, 2], [3, 5], [6, 8], [9, 11]],
+        window_attn=[False] * 12, window_size=[None] * 12,
+    )
+    tm.eval()
+    _randomize_zero_params(tm, seed=9, std=0.01)
+    gen = torch.Generator().manual_seed(10)
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(1.0 + torch.rand(buf.shape, generator=gen) * 0.5)
+
+    fm = vit_adapter_b(image_size=64)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = fm.init({"params": jnp.zeros(2, jnp.uint32)}, jnp.asarray(x), False)
+
+    params, batch_stats, loaded, skipped = load_torch_vit_adapter_backbone(
+        tm.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    assert not skipped, f"unexpectedly skipped: {skipped[:8]}"
+
+    with torch.no_grad():
+        t_outs = tm(_to_nchw(x))
+    f_outs = fm.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(x), False)
+    assert len(t_outs) == len(f_outs) == 5
+    for i in range(1, 5):
+        t = t_outs[i].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f_outs[i])
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(
+            t, f, atol=5e-4, rtol=1e-3,
+            err_msg=f"stage c{i} diverges from reference ViT-Adapter-B",
+        )
+
+
+def test_load_backbone_checkpoint_dispatch(tmp_path):
+    """load_backbone_checkpoint auto-detects the family from a saved .pth and
+    routes to the right porter (the reference init path ED/models.py:201-265
+    works for all 7 backbone families)."""
+    from samrs_tpu.seg.backbones.resnet import resnet50
+    from samrs_tpu.seg.port import detect_backbone_family, load_backbone_checkpoint
+
+    rn = import_ed_backbone("resnet_mmseg_10")
+    tm = rn.ResNet(50, out_indices=(0, 1, 2, 3), norm_eval=False)
+    tm.eval()
+    path = tmp_path / "resnet50.pth"
+    torch.save(tm.state_dict(), str(path))
+
+    assert detect_backbone_family(tm.state_dict()) == "resnet"
+    fm = resnet50()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = fm.init({"params": jnp.zeros(2, jnp.uint32)}, x, False)
+    params, stats = load_backbone_checkpoint(
+        str(path), variables["params"], variables["batch_stats"]
+    )
+    got = np.asarray(params["stem_conv"]["kernel"])
+    want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want)
+
+    # family detection across the other reference layouts
+    assert detect_backbone_family({"levels.0.blocks.0.dcn.offset.weight": 0}) == "internimage"
+    assert detect_backbone_family({"layers.0.RC.PRM.convs.0.0.weight": 0}) == "vitae"
+    assert detect_backbone_family({"interactions.0.injector.gamma": 0}) == "vit_adapter"
+    assert detect_backbone_family({"layers.0.blocks.0.attn.qkv.weight": 0}) == "swin"
+    assert detect_backbone_family({"blocks.0.attn.qkv.weight": 0}) == "vit"
+
+
 def test_resnet50_parity_and_port():
     """Reference mmseg ResNet-50 (ED/backbone/resnet_mmseg_10.py:314, built as
     ED/models.py:71) vs our flax ResNet through the torchvision-layout porter."""
