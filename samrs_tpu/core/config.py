@@ -217,6 +217,9 @@ class PretrainConfig(Config):
     resume: Optional[str] = None
     mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh by default
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Mask2Former mask-loss point sampling (mmdet uses 12544 at high res;
+    # None = exact full-mask losses, fine at 224²)
+    m2f_num_points: Optional[int] = None
 
 
 @dataclass

@@ -102,26 +102,25 @@ class SamPredictor:
             resized = self.transform.apply_image(image)
             padded[i, : resized.shape[0], : resized.shape[1]] = resized
             metas.append((image.shape[:2], resized.shape[:2]))
-        key = ("enc_batch", len(images), tuple(m[1] for m in metas))
+        # valid sizes are TRACED arguments, so mixed-size fleets compile ONE
+        # encoder variant per batch count (not one per size combination)
+        key = ("enc_batch", len(images))
         fn = self._jit_cache.get(key)
         if fn is None:
-            sizes = tuple(m[1] for m in metas)
 
             @jax.jit
-            def fn(variables, x):
+            def fn(variables, x, hw):
                 x = (x - jnp.asarray(cfg.pixel_mean)) / jnp.asarray(cfg.pixel_std)
                 row = jnp.arange(cfg.image_size)
-                masks = jnp.stack(
-                    [
-                        (row[:, None] < h) & (row[None, :] < w)
-                        for h, w in sizes
-                    ]
+                masks = (row[None, :, None] < hw[:, 0, None, None]) & (
+                    row[None, None, :] < hw[:, 1, None, None]
                 )
                 x = x * masks[..., None]
                 return self.model.apply(variables, x, method=Sam.encode_image)
 
             self._jit_cache[key] = fn
-        feats = fn(self.variables, jnp.asarray(padded))
+        hw = jnp.asarray([m[1] for m in metas], jnp.int32)
+        feats = fn(self.variables, jnp.asarray(padded), hw)
         return [
             (feats[i : i + 1], metas[i][0], metas[i][1]) for i in range(len(images))
         ]
@@ -156,21 +155,20 @@ class SamPredictor:
 
     def _encode_padded(self, variables, x, input_size):
         cfg = self.cfg
-        key = ("enc", input_size)
+        key = "enc"  # input_size is traced, so one compile covers every size
         fn = self._jit_cache.get(key)
         if fn is None:
 
             @jax.jit
-            def fn(variables, x):
+            def fn(variables, x, hw):
                 x = (x - jnp.asarray(cfg.pixel_mean)) / jnp.asarray(cfg.pixel_std)
-                h, w = input_size
                 row = jnp.arange(cfg.image_size)
-                valid = (row[:, None] < h) & (row[None, :] < w)
+                valid = (row[:, None] < hw[0]) & (row[None, :] < hw[1])
                 x = x * valid[None, :, :, None]
                 return self.model.apply(variables, x, method=Sam.encode_image)
 
             self._jit_cache[key] = fn
-        return fn(variables, x)
+        return fn(variables, x, jnp.asarray(input_size, jnp.int32))
 
     # ---------------------------------------------------------------- predict
 

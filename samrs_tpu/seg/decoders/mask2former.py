@@ -75,11 +75,14 @@ class PixelDecoder(nn.Module):
         c1, c2, c3, c4 = feats
         B = c1.shape[0]
         D = self.embed_dim
-        # project the 3 coarse scales and flatten (coarse first like mmdet)
+        # project the 3 coarse scales and flatten (coarse first like mmdet);
+        # input projections are ConvModule(1x1, GN-32) (MSDeformAttnPixelDecoder)
         srcs = []
         shapes = []
         for i, c in enumerate([c4, c3, c2]):
-            y = nn.Conv(D, (1, 1), dtype=self.dtype, name=f"input_proj{i}")(c)
+            y = nn.Conv(D, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"input_proj{i}")(c)
+            y = nn.GroupNorm(num_groups=32, name=f"input_proj{i}_gn")(y)
             srcs.append(y)
             shapes.append((y.shape[1], y.shape[2]))
         level_embed = self.param("level_embed", nn.initializers.normal(1.0), (3, D))
@@ -112,11 +115,20 @@ class PixelDecoder(nn.Module):
         for (h, w) in shapes:
             outs.append(x[:, start : start + h * w].reshape(B, h, w, D))
             start += h * w
-        # FPN fuse into stride-4 mask features
-        lat = nn.Conv(D, (1, 1), dtype=self.dtype, name="lateral_c1")(c1)
-        up = jax.image.resize(outs[-1].astype(jnp.float32), lat.shape, "bilinear")
+        # per-level FPN output path down to stride 4 (MSDeformAttnPixelDecoder:
+        # lateral ConvModule(1x1, GN) + bilinear top-down add + output
+        # ConvModule(3x3, GN, ReLU)), then a plain 3x3 mask-feature conv
+        lat = nn.Conv(D, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="lateral_c1")(c1)
+        lat = nn.GroupNorm(num_groups=32, name="lateral_c1_gn")(lat)
+        up = jax.image.resize(outs[-1].astype(jnp.float32), lat.shape, "bilinear",
+                              antialias=False)
         fused = lat + up.astype(lat.dtype)
-        mask_feat = nn.Conv(D, (3, 3), padding="SAME", dtype=self.dtype,
+        fused = nn.Conv(D, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name="output_conv")(fused)
+        fused = nn.GroupNorm(num_groups=32, name="output_conv_gn")(fused)
+        fused = nn.relu(fused)
+        mask_feat = nn.Conv(D, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                             name="mask_conv")(fused)
         return mask_feat, outs  # outs: [s32, s16, s8]
 
@@ -296,6 +308,46 @@ def dice_loss(pred_sigmoid: jnp.ndarray, target: jnp.ndarray, eps: float = 1.0):
     return 1 - (num + eps) / (den + eps)
 
 
+# ---------------------------------------------------------------------------
+# Point sampling (mmdet_mask2former.py:28-107, :1016): keeps the mask losses
+# O(num_points) instead of O(H*W) — required for 1024² tiles
+# ---------------------------------------------------------------------------
+
+
+def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample (N, H, W) masks at (N, K, 2) xy coords in [0, 1]
+    (mmcv.ops.point_sample, align_corners=False)."""
+    from samrs_tpu.kernels.sampling import grid_sample
+
+    grid = 2.0 * coords - 1.0  # (N, K, 2)
+    out = grid_sample(masks[..., None], grid[:, None])  # (N, 1, K, 1)
+    return out[:, 0, :, 0]
+
+
+def uncertain_point_coords(
+    rng: jnp.ndarray,
+    logits: jnp.ndarray,  # (N, H, W)
+    num_points: int,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+) -> jnp.ndarray:
+    """Uncertainty-biased random point coords (N, num_points, 2)
+    (mmdet get_uncertain_point_coords_with_randomness: oversample uniformly,
+    keep the most uncertain -|logit| points, top up with fresh randoms)."""
+    n = logits.shape[0]
+    n_sampled = int(num_points * oversample_ratio)
+    n_unc = int(importance_sample_ratio * num_points)
+    n_rand = num_points - n_unc
+    r1, r2 = jax.random.split(rng)
+    cand = jax.random.uniform(r1, (n, n_sampled, 2))
+    pl = point_sample(jax.lax.stop_gradient(logits), cand)
+    idx = jax.lax.top_k(-jnp.abs(pl), n_unc)[1]  # (N, n_unc)
+    sel = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    if n_rand > 0:
+        sel = jnp.concatenate([sel, jax.random.uniform(r2, (n, n_rand, 2))], axis=1)
+    return sel
+
+
 def mask2former_loss(
     outputs: List[Tuple[jnp.ndarray, jnp.ndarray]],
     labels: jnp.ndarray,
@@ -304,30 +356,75 @@ def mask2former_loss(
     mask_weight: float = 5.0,
     dice_weight: float = 5.0,
     no_object_weight: float = 0.1,
+    num_points: Optional[int] = None,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    rng: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Sum of per-layer matched losses (mmdet loss_by_feat semantics)."""
-    B, _, H4, W4 = outputs[0][1].shape
+    """Sum of per-layer matched losses (mmdet loss_by_feat semantics).
+
+    num_points=None computes exact full-mask BCE/dice (fine at 224² pretrain
+    resolution).  With num_points set (mmdet uses 12544) the mask losses are
+    point-sampled — random shared points for the matching cost
+    (mmdet_mask2former.py:913-1011) and uncertainty-biased points for the
+    loss (:1016-1100) — keeping memory O(Q*num_points) at 1024² tiles.
+    Requires `rng` when point sampling is enabled.
+    """
+    B, Nq, H4, W4 = outputs[0][1].shape
     small = jax.image.resize(
         labels[:, None].astype(jnp.float32), (B, 1, H4, W4), "nearest"
     )[:, 0].astype(jnp.int32)
     gt_masks, gt_valid = semantic_to_instances(small, num_classes)
+    use_points = num_points is not None
+    if use_points and rng is None:
+        raise ValueError("point-sampled mask2former_loss requires rng")
 
     total = {"loss_cls": 0.0, "loss_mask": 0.0, "loss_dice": 0.0}
-    for cls_logits, mask_logits in outputs:
-        # costs
+    for li, (cls_logits, mask_logits) in enumerate(outputs):
         logp = jax.nn.log_softmax(cls_logits, axis=-1)  # (B, Q, C+1)
         cost_cls = -logp[..., :num_classes]  # (B, Q, C)
-        pred_sig = jax.nn.sigmoid(mask_logits)  # (B, Q, H, W)
-        inter = jnp.einsum("bqhw,bchw->bqc", pred_sig, gt_masks)
-        sums = pred_sig.sum((-1, -2))[:, :, None] + gt_masks.sum((-1, -2))[:, None, :]
-        cost_dice = 1 - (2 * inter + 1) / (sums + 1)
-        # bce cost (mean over pixels)
-        pos = jax.nn.softplus(-mask_logits)  # -log sigmoid
-        neg = jax.nn.softplus(mask_logits)  # -log (1-sigmoid)
-        cost_bce = (
-            jnp.einsum("bqhw,bchw->bqc", pos, gt_masks)
-            + jnp.einsum("bqhw,bchw->bqc", neg, 1 - gt_masks)
-        ) / (H4 * W4)
+
+        if use_points:
+            lrng = jax.random.fold_in(rng, li)
+            r_match, r_loss = jax.random.split(lrng)
+            # matching cost over K random points shared per image (:913-1011)
+            pts = jnp.broadcast_to(
+                jax.random.uniform(r_match, (B, 1, num_points, 2)),
+                (B, 1, num_points, 2),
+            )
+            p_pred = point_sample(
+                mask_logits.reshape(B * Nq, H4, W4),
+                jnp.broadcast_to(pts, (B, Nq, num_points, 2)).reshape(
+                    B * Nq, num_points, 2),
+            ).reshape(B, Nq, num_points)
+            C = num_classes
+            p_gt = point_sample(
+                gt_masks.reshape(B * C, H4, W4),
+                jnp.broadcast_to(pts, (B, C, num_points, 2)).reshape(
+                    B * C, num_points, 2),
+            ).reshape(B, C, num_points)
+            pos = jax.nn.softplus(-p_pred)
+            neg = jax.nn.softplus(p_pred)
+            cost_bce = (
+                jnp.einsum("bqk,bck->bqc", pos, p_gt)
+                + jnp.einsum("bqk,bck->bqc", neg, 1 - p_gt)
+            ) / num_points
+            ps = jax.nn.sigmoid(p_pred)
+            inter = jnp.einsum("bqk,bck->bqc", ps, p_gt)
+            sums = ps.sum(-1)[:, :, None] + p_gt.sum(-1)[:, None, :]
+            cost_dice = 1 - (2 * inter + 1) / (sums + 1)
+        else:
+            pred_sig = jax.nn.sigmoid(mask_logits)  # (B, Q, H, W)
+            inter = jnp.einsum("bqhw,bchw->bqc", pred_sig, gt_masks)
+            sums = pred_sig.sum((-1, -2))[:, :, None] + gt_masks.sum((-1, -2))[:, None, :]
+            cost_dice = 1 - (2 * inter + 1) / (sums + 1)
+            pos = jax.nn.softplus(-mask_logits)  # -log sigmoid
+            neg = jax.nn.softplus(mask_logits)  # -log (1-sigmoid)
+            cost_bce = (
+                jnp.einsum("bqhw,bchw->bqc", pos, gt_masks)
+                + jnp.einsum("bqhw,bchw->bqc", neg, 1 - gt_masks)
+            ) / (H4 * W4)
+
         cost = (
             class_weight * cost_cls + mask_weight * cost_bce + dice_weight * cost_dice
         )
@@ -348,12 +445,35 @@ def mask2former_loss(
         )  # (B, Q, H, W)
         mw = matched.astype(jnp.float32)
         denom = jnp.maximum(mw.sum(), 1.0)
-        bce = pos * tgt_mask + neg * (1 - tgt_mask)
-        total["loss_mask"] = total["loss_mask"] + mask_weight * (
-            (bce.mean((-1, -2)) * mw).sum() / denom
-        )
-        dl = dice_loss(pred_sig, tgt_mask)
-        total["loss_dice"] = total["loss_dice"] + dice_weight * ((dl * mw).sum() / denom)
+        if use_points:
+            # uncertainty-biased coords per matched query (:1016-1100)
+            flat_logits = mask_logits.reshape(B * Nq, H4, W4)
+            coords = uncertain_point_coords(
+                r_loss, flat_logits, num_points, oversample_ratio,
+                importance_sample_ratio,
+            )
+            p_pred = point_sample(flat_logits, coords).reshape(B, Nq, num_points)
+            p_tgt = point_sample(
+                tgt_mask.reshape(B * Nq, H4, W4), coords
+            ).reshape(B, Nq, num_points)
+            bce = jax.nn.softplus(-p_pred) * p_tgt + jax.nn.softplus(p_pred) * (1 - p_tgt)
+            total["loss_mask"] = total["loss_mask"] + mask_weight * (
+                (bce.mean(-1) * mw).sum() / denom
+            )
+            ps = jax.nn.sigmoid(p_pred)
+            dl = 1 - (2 * (ps * p_tgt).sum(-1) + 1) / (ps.sum(-1) + p_tgt.sum(-1) + 1)
+            total["loss_dice"] = total["loss_dice"] + dice_weight * (
+                (dl * mw).sum() / denom
+            )
+        else:
+            bce = pos * tgt_mask + neg * (1 - tgt_mask)
+            total["loss_mask"] = total["loss_mask"] + mask_weight * (
+                (bce.mean((-1, -2)) * mw).sum() / denom
+            )
+            dl = dice_loss(pred_sig, tgt_mask)
+            total["loss_dice"] = total["loss_dice"] + dice_weight * (
+                (dl * mw).sum() / denom
+            )
     return total
 
 

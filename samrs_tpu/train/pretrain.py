@@ -145,15 +145,22 @@ def run_pretrain(
     ]
     variables = model.init(rngs, xs_init, True)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     if cfg.pretrained:
         # torch MAE/IMP checkpoint grafted into the encoder, non-strict
-        # (the reference's init_weights path, models.py:201-265)
+        # (the reference's init_weights path, models.py:201-265); BN-carrying
+        # families (resnet/vitae/vit_adapter) also load running statistics
         from samrs_tpu.seg.port import load_backbone_checkpoint
 
         params = dict(params)
-        params["encoder"] = load_backbone_checkpoint(cfg.pretrained, params["encoder"])
+        if batch_stats and "encoder" in batch_stats:
+            batch_stats = dict(batch_stats)
+            params["encoder"], batch_stats["encoder"] = load_backbone_checkpoint(
+                cfg.pretrained, params["encoder"], batch_stats["encoder"]
+            )
+        else:
+            params["encoder"] = load_backbone_checkpoint(cfg.pretrained, params["encoder"])
         logger.info("initialized encoder from %s (%s)", cfg.pretrained, cfg.init)
-    batch_stats = variables.get("batch_stats", {})
 
     sched = warmup_cosine_schedule(
         cfg.optim.lr, cfg.total_iters, cfg.optim.warmup_iters, cfg.optim.min_lr_ratio
@@ -179,7 +186,8 @@ def run_pretrain(
     if is_m2f:
         from samrs_tpu.train.trainer import make_pretrain_step_mask2former
 
-        train_step = make_pretrain_step_mask2former(model, tx, num_classes)
+        train_step = make_pretrain_step_mask2former(model, tx, num_classes,
+                                                    num_points=cfg.m2f_num_points)
         eval_steps = [
             _make_m2f_eval_step(model, nc, head_idx=i) for i, nc in enumerate(num_classes)
         ]

@@ -83,9 +83,12 @@ def make_pretrain_step(model, tx) -> Callable:
     return train_step
 
 
-def make_pretrain_step_mask2former(model, tx, num_classes: Sequence[int]) -> Callable:
+def make_pretrain_step_mask2former(
+    model, tx, num_classes: Sequence[int], num_points: Optional[int] = None
+) -> Callable:
     """E2E variant: per-dataset Mask2Former dict losses summed over layers
-    (E2E/main_pretrain.py:608-640)."""
+    (E2E/main_pretrain.py:608-640).  num_points enables mmdet's point-sampled
+    mask losses (12544 in the reference) for high-resolution tiles."""
     from samrs_tpu.seg.decoders.mask2former import mask2former_loss
 
     @jax.jit
@@ -98,10 +101,13 @@ def make_pretrain_step_mask2former(model, tx, num_classes: Sequence[int]) -> Cal
                 variables, xs, True, rngs={"dropout": rng}, mutable=["batch_stats"]
             )
             losses = []
-            for o, b, nc in zip(outs, batches, num_classes):
+            for i, (o, b, nc) in enumerate(zip(outs, batches, num_classes)):
                 if o is None:
                     continue
-                d = mask2former_loss(o, b[1], nc)
+                d = mask2former_loss(
+                    o, b[1], nc, num_points=num_points,
+                    rng=jax.random.fold_in(rng, 1000 + i) if num_points else None,
+                )
                 losses.append(d["loss_cls"] + d["loss_mask"] + d["loss_dice"])
             return sum(losses), (updated.get("batch_stats", {}), losses)
 

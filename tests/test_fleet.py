@@ -44,3 +44,32 @@ def test_fleet_all_devices(tmp_path, tiny_sam):
         recs = pickle.load(f)
     assert recs[0]["category"] == "ship"
     assert len(jax.local_devices()) == 8  # exercised all virtual devices
+
+
+def test_mixed_size_images_bounded_compiles(tiny_sam):
+    """A fleet over mixed-size images must not accumulate encoder compile
+    variants: valid sizes are traced arguments, so the jit cache is keyed
+    only by batch count (and one single-image entry)."""
+    from samrs_tpu.sam.predictor import SamPredictor
+
+    model, variables = tiny_sam
+    pred = SamPredictor(model, variables)
+    rng = np.random.default_rng(1)
+    sizes = [(40, 50), (33, 64), (64, 28), (50, 50), (41, 63), (29, 31)]
+    images = [(rng.random((h, w, 3)) * 255).astype(np.uint8) for h, w in sizes]
+
+    # batched path: 3 batches of 2, all different size mixes -> ONE compile
+    for i in range(0, 6, 2):
+        encoded = pred.encode_images(images[i : i + 2])
+        assert len(encoded) == 2
+    batch_keys = [k for k in pred._jit_cache if k[0] == "enc_batch"]
+    assert batch_keys == [("enc_batch", 2)], batch_keys
+
+    # single-image path: every size through one cached entry
+    for img in images[:3]:
+        pred.set_image(img)
+        m, _, _ = pred.predict(box=np.array([2, 2, 20, 20], np.float32))
+        assert m.shape[-2:] == img.shape[:2]
+    assert "enc" in pred._jit_cache
+    assert sum(1 for k in pred._jit_cache if k == "enc" or
+               (isinstance(k, tuple) and k[0] == "enc")) == 1

@@ -98,6 +98,72 @@ def test_loss_and_grads():
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
 
 
+def test_point_sample_matches_dense():
+    """point_sample at exact pixel centers must reproduce the dense mask
+    (mmcv.ops.point_sample = grid_sample align_corners=False)."""
+    from samrs_tpu.seg.decoders.mask2former import point_sample
+
+    rng = np.random.default_rng(3)
+    m = jnp.asarray(rng.normal(size=(2, 8, 8)), jnp.float32)
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    coords = np.stack([(xs + 0.5) / 8, (ys + 0.5) / 8], -1).reshape(1, 64, 2)
+    coords = jnp.asarray(np.tile(coords, (2, 1, 1)), jnp.float32)
+    out = point_sample(m, coords)
+    np.testing.assert_allclose(np.asarray(out).reshape(2, 8, 8), np.asarray(m), atol=1e-6)
+
+
+def test_uncertain_point_coords_shapes():
+    from samrs_tpu.seg.decoders.mask2former import uncertain_point_coords
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(3, 16, 16)) * 3, jnp.float32)
+    pts = uncertain_point_coords(jax.random.PRNGKey(0), logits, 64, 3.0, 0.75)
+    assert pts.shape == (3, 64, 2)
+    assert float(pts.min()) >= 0.0 and float(pts.max()) <= 1.0
+    # the uncertain (first 75%) points must carry lower |logit| than random ones
+    from samrs_tpu.seg.decoders.mask2former import point_sample
+
+    sampled = np.abs(np.asarray(point_sample(logits, pts)))
+    assert sampled[:, :48].mean() < sampled[:, 48:].mean()
+
+
+def test_loss_point_sampled_mode():
+    """Point-sampled losses (mmdet 12544-point scheme) stay finite with
+    nonzero grads and track the exact full-mask losses at moderate K."""
+    model = _tiny_decoder()
+    feats = _feats(np.random.default_rng(5))
+    variables = model.init(jax.random.PRNGKey(0), feats, False)
+    labels = jnp.asarray(
+        np.random.default_rng(6).integers(0, 5, (1, SIZE, SIZE)), jnp.int32
+    )
+    from samrs_tpu.seg.decoders.mask2former import Mask2FormerHead
+
+    head = Mask2FormerHead(5)
+    outs0 = model.apply(variables, feats, False)
+    hv = head.init(jax.random.PRNGKey(1), outs0)
+
+    def loss_fn(params, hparams, num_points):
+        outs = model.apply({"params": params}, feats, True)
+        outs = head.apply({"params": hparams}, outs)
+        losses = mask2former_loss(
+            outs, labels, num_classes=5, num_points=num_points,
+            rng=jax.random.PRNGKey(7) if num_points else None,
+        )
+        return losses["loss_cls"] + losses["loss_mask"] + losses["loss_dice"]
+
+    loss_pt, grads = jax.value_and_grad(loss_fn)(
+        variables["params"], hv["params"], 256
+    )
+    assert np.isfinite(float(loss_pt))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+    loss_full = loss_fn(variables["params"], hv["params"], None)
+    # point estimate should be in the same ballpark as the exact loss
+    assert abs(float(loss_pt) - float(loss_full)) / max(float(loss_full), 1e-6) < 0.5
+
+
 def test_predict_semantic():
     cls_logits = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 6)), jnp.float32)
     mask_logits = jnp.asarray(
