@@ -21,7 +21,8 @@ import numpy as np
 
 
 def main(backbone: str = "vit_b_rvsa", decoder: str = "upernet",
-         batch: int = 96, iters: int = 6, image_size: int = 224) -> None:
+         batch: int = 96, iters: int = 6, image_size: int = 224,
+         remat: bool = False) -> None:
     from samrs_tpu.seg.frameworks import MultiHeadSegModel
     from samrs_tpu.train.optim import build_optimizer, warmup_cosine_schedule
     from samrs_tpu.train.trainer import TrainState, make_pretrain_step
@@ -32,6 +33,7 @@ def main(backbone: str = "vit_b_rvsa", decoder: str = "upernet",
         backbone=backbone, decoder=decoder, num_classes=num_classes,
         image_size=image_size,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        remat=remat,
     )
     # proportional split of the global batch (ED/main_pretrain.py:233-269)
     sizes = np.array([17480, 11725, 64147], np.float64)
@@ -71,7 +73,8 @@ def main(backbone: str = "vit_b_rvsa", decoder: str = "upernet",
         json.dumps(
             {
                 "metric": f"SEP pretrain {backbone}+{decoder} images/sec/chip "
-                          f"(B={int(per.sum())} @ {image_size}px, fwd+bwd+optim)",
+                          f"(B={int(per.sum())} @ {image_size}px, fwd+bwd+optim"
+                          + (", remat)" if remat else ")"),
                 "value": round(img_per_s, 2),
                 "unit": "img/s",
                 "note": f"step {dt * 1000:.1f} ms; reference budget 80k iters "
@@ -87,4 +90,5 @@ if __name__ == "__main__":
         backbone=a[0] if len(a) > 0 else "vit_b_rvsa",
         decoder=a[1] if len(a) > 1 else "upernet",
         batch=int(a[2]) if len(a) > 2 else 96,
+        remat=len(a) > 3 and a[3] == "remat",
     )

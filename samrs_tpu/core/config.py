@@ -220,6 +220,9 @@ class PretrainConfig(Config):
     # Mask2Former mask-loss point sampling (mmdet uses 12544 at high res;
     # None = exact full-mask losses, fine at 224²)
     m2f_num_points: Optional[int] = None
+    # rematerialize encoder activations (gradient checkpointing) to fit large
+    # per-chip batches
+    remat: bool = False
 
 
 @dataclass

@@ -47,6 +47,10 @@ class MultiHeadSegModel(nn.Module):
     num_classes: Tuple[int, ...] = (18, 20, 37)  # SOTA / SIOR / FAST
     image_size: int = 224
     dtype: Dtype = jnp.float32
+    # rematerialize encoder activations in the backward pass (the reference's
+    # torch.utils.checkpoint option, vit_win_rvsa_v3_wsz7.py:799-800) — trades
+    # ~30% step time for fitting large per-chip batches
+    remat: bool = False
 
     def setup(self) -> None:
         self.encoder = get_backbone(self.backbone, image_size=self.image_size, dtype=self.dtype)
@@ -61,7 +65,12 @@ class MultiHeadSegModel(nn.Module):
         ]
 
     def forward_one(self, x: jnp.ndarray, head_idx: int, train: bool = False) -> jnp.ndarray:
-        feats = self.encoder(x, train=train)
+        if self.remat:
+            feats = nn.remat(
+                lambda enc, xx: enc(xx, train=train), prevent_cse=False
+            )(self.encoder, x)
+        else:
+            feats = self.encoder(x, train=train)
         d = self.seg_decoder(feats, train=train)
         return self.heads[head_idx](d, train=train)
 

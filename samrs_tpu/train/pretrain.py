@@ -107,6 +107,7 @@ def run_pretrain(
                 decoder=cfg.decoder,
                 num_classes=num_classes,
                 image_size=cfg.data.image_size,
+                remat=cfg.remat,
             )
     if datasets_trn is None:
         datasets_trn = build_datasets(cfg, "trn")

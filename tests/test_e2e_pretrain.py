@@ -74,3 +74,39 @@ def test_m2f_pretrain_end_to_end(tmp_path):
     )
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / "ckpt" / "last.msgpack")
+
+
+def test_m2f_point_sampled_step_sharded(tmp_path):
+    """One Mask2Former train step with POINT-SAMPLED losses, batch sharded
+    over the 8-device mesh — covers the Hungarian pure_callback and the
+    uncertainty point sampler under GSPMD."""
+    import jax
+    import jax.numpy as jnp
+    from samrs_tpu.core.mesh import MeshSpec, data_sharding, make_mesh, replicated
+    from samrs_tpu.train.optim import build_optimizer, warmup_cosine_schedule
+    from samrs_tpu.train.trainer import TrainState, make_pretrain_step_mask2former
+
+    model = TinyM2F(num_classes=(18, 20), image_size=SIZE)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    xs0 = [jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)] * 2
+    variables = model.init(rngs, xs0, True)
+    tx = build_optimizer(variables["params"], warmup_cosine_schedule(1e-4, 10, 1),
+                         layer_decay=0.9, num_layers=4)
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
+    step = make_pretrain_step_mask2former(model, tx, (18, 20), num_points=64)
+
+    mesh = make_mesh(MeshSpec((-1,), ("data",)))
+    dsh = data_sharding(mesh)
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(0)
+    batches = tuple(
+        (
+            jax.device_put(jnp.asarray(rng.random((8, SIZE, SIZE, 3)), jnp.float32), dsh),
+            jax.device_put(jnp.asarray(rng.integers(0, nc, (8, SIZE, SIZE)), jnp.int32), dsh),
+        )
+        for nc in (18, 20)
+    )
+    with mesh:
+        state, metrics = step(state, batches, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
