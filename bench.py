@@ -94,8 +94,62 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8, batch: int =
     )
 
 
+def buckets_main(chunk: int = 256, iters: int = 5) -> None:
+    """Decode-bucket scaling: ms/box at 64/256/1024/4096-box buckets.
+
+    The mask decoder is identical across SAM variants (encoder-independent
+    given the (64,64,256) embedding), so this times decode alone on random
+    features.  Large buckets run through the predictor's chunked lax.map path
+    (bounded memory); per-box cost should stay flat.
+    """
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.sam.build import init_sam_variables
+    from samrs_tpu.sam.predictor import SamPredictor
+    from samrs_tpu.sam.sam import Sam
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = sam_config(
+        "vit_b",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_flash_attention=on_tpu,
+    )
+    model = Sam(cfg)
+    variables = init_sam_variables(model, seed=0)
+    pred = SamPredictor(model, variables, decode_chunk=chunk)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((1, cfg.grid_size, cfg.grid_size, cfg.prompt_embed_dim)),
+        jnp.float32,
+    )
+    pred.set_image_features(feats, (cfg.image_size, cfg.image_size),
+                            (cfg.image_size, cfg.image_size))
+    results = {}
+    for nb in (64, 256, 1024, 4096):
+        boxes = rng.uniform(0, cfg.image_size, (nb, 4)).astype(np.float32)
+        boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 1)
+        low, iou = pred.predict_boxes_lowres(boxes)  # compile
+        float(jnp.asarray(iou).sum())
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            low, iou = pred.predict_boxes_lowres(boxes)
+            acc = acc + iou.ravel()[0]
+        float(acc)
+        ms_per_box = (time.perf_counter() - t0) / iters / nb * 1000.0
+        results[str(nb)] = round(ms_per_box, 4)
+    print(json.dumps({
+        "metric": "SAM decode ms/box by bucket (chunked decode, chunk=%d)" % chunk,
+        "value": results["1024"],
+        "unit": "ms/box @1024",
+        "curve": results,
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
-    variant = sys.argv[1] if len(sys.argv) > 1 else "vit_h"
-    main(variant)
+    if len(sys.argv) > 1 and sys.argv[1] == "--buckets":
+        buckets_main()
+    else:
+        variant = sys.argv[1] if len(sys.argv) > 1 else "vit_h"
+        main(variant)

@@ -39,12 +39,19 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
 
 
 class SamPredictor:
-    def __init__(self, model: Sam, variables: Any, buckets: Tuple[int, ...] = DEFAULT_BUCKETS):
+    def __init__(
+        self,
+        model: Sam,
+        variables: Any,
+        buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+        decode_chunk: int = 256,
+    ):
         self._jit_cache: Dict[Any, Any] = {}
         self.model = model
         self.variables = variables
         self.cfg = model.cfg
         self.buckets = buckets
+        self.decode_chunk = decode_chunk
         self.transform = ResizeLongestSide(self.cfg.image_size)
         self.reset_image()
 
@@ -57,14 +64,36 @@ class SamPredictor:
 
         @functools.partial(jax.jit, static_argnames=("multimask_output",))
         def _decode(variables, features, points, labels, mask_inputs, multimask_output):
-            return model.apply(
-                variables,
-                features,
-                points,
-                labels,
-                mask_inputs,
-                multimask_output,
-                method=Sam.predict,
+            n = points.shape[0]
+            chunk = self.decode_chunk
+            if mask_inputs is not None or n <= chunk or n % chunk != 0:
+                return model.apply(
+                    variables,
+                    features,
+                    points,
+                    labels,
+                    mask_inputs,
+                    multimask_output,
+                    method=Sam.predict,
+                )
+            # Large prompt buckets: the two-way transformer broadcasts the full
+            # (64,64,256) image embedding per prompt, so a 4096-box decode would
+            # materialize ~17 GB of fp32 image-side activations.  lax.map over
+            # fixed-size chunks bounds live memory at `chunk` prompts while the
+            # per-box cost stays flat (measured: see bench.py --buckets).
+            def one(args):
+                p, l = args
+                return model.apply(
+                    variables, features, p, l, None, multimask_output,
+                    method=Sam.predict,
+                )
+
+            pts = points.reshape(n // chunk, chunk, *points.shape[1:])
+            labs = labels.reshape(n // chunk, chunk, *labels.shape[1:])
+            low, iou = jax.lax.map(one, (pts, labs))
+            return (
+                low.reshape(n, *low.shape[2:]),
+                iou.reshape(n, *iou.shape[2:]),
             )
 
         @functools.partial(

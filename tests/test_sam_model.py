@@ -112,3 +112,35 @@ def test_sam_forward_batched_dict_api(tiny_sam):
     assert outs[0]["masks"].shape == (2, 1, 48, 64)
     assert outs[0]["iou_predictions"].shape == (2, 1)
     assert outs[1]["masks"].shape[-2:] == (40, 40)
+
+
+def test_chunked_decode_matches_direct(tiny_sam):
+    """predict_boxes with N > decode_chunk runs the lax.map chunked path;
+    results must match the direct single-batch decode (memory-bounding
+    rewrite of the image-embedding broadcast, predictor._decode)."""
+    from samrs_tpu.sam.predictor import SamPredictor
+
+    model, variables = tiny_sam
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    boxes = rng.uniform(2, 40, (7, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + 8
+
+    direct = SamPredictor(model, variables, buckets=(8,), decode_chunk=64)
+    direct.set_image(img)
+    chunked = SamPredictor(model, variables, buckets=(8,), decode_chunk=4)
+    chunked.set_image_features(direct.features, direct.original_size, direct.input_size)
+
+    md, iod, lrd = direct.predict_boxes(boxes)
+    mc, ioc, lrc = chunked.predict_boxes(boxes)
+    np.testing.assert_allclose(lrc, lrd, atol=1e-5)
+    np.testing.assert_allclose(ioc, iod, atol=1e-5)
+    # binarized masks may flip only where the upsampled logit sits exactly at
+    # the threshold (lax.map vs batched reduction order, ~1e-6 logit delta)
+    _, _, logits_d = direct.predict_boxes(boxes, return_logits=True)
+    mismatch = mc != md
+    assert mismatch.mean() < 1e-3
+    if mismatch.any():
+        up = direct.upscale_chunk(jnp.asarray(logits_d), binarize=False)
+        near = np.abs(np.asarray(up) - model.cfg.mask_threshold) < 1e-4
+        assert near[mismatch].all()
