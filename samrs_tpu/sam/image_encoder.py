@@ -89,6 +89,10 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    # sequence parallelism (global layers only; set by Block when a seq mesh
+    # is configured): token rows shard over sp_axis, K/V ride the ICI ring
+    sp_mesh: Optional[Any] = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -140,7 +144,14 @@ class Attention(nn.Module):
         if self.use_flash and self.use_rel_pos and not self.is_initializing():
             Rh = get_rel_pos(H, H, rel_pos_h)
             Rw = get_rel_pos(W, W, rel_pos_w)
-            if H * W >= 2048:
+            if self.sp_mesh is not None:
+                # sequence-parallel exact attention (kernels/ring_attention.py)
+                from samrs_tpu.kernels.ring_attention import sp_flash_attention_relpos
+
+                out = sp_flash_attention_relpos(
+                    q, k, v, Rh, Rw, (H, W), scale, self.sp_mesh, self.sp_axis
+                )
+            elif H * W >= 2048:
                 # global layers: flash attention, logits tiled per 128 queries
                 from samrs_tpu.kernels.flash_attention import flash_attention_relpos
 
@@ -184,6 +195,8 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    sp_mesh: Optional[Any] = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,6 +217,8 @@ class Block(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             window_attn_impl=self.window_attn_impl,
+            sp_mesh=self.sp_mesh if self.window_size == 0 else None,
+            sp_axis=self.sp_axis,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -237,6 +252,8 @@ class ImageEncoderViT(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    sp_mesh: Optional[Any] = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -266,6 +283,8 @@ class ImageEncoderViT(nn.Module):
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 window_attn_impl=self.window_attn_impl,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
                 name=f"blocks_{i}",
             )(x)
         # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)

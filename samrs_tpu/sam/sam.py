@@ -59,6 +59,10 @@ class Sam(nn.Module):
     """SAM = image encoder + prompt encoder + mask decoder (sam.py:18)."""
 
     cfg: SamConfig
+    # optional sequence parallelism for the encoder's global-attention layers
+    # (huge tiles / multi-chip): a 1-D Mesh over a "seq" axis
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     def setup(self) -> None:
         c = self.cfg
@@ -75,6 +79,8 @@ class Sam(nn.Module):
             dtype=dtype,
             use_flash=c.use_flash_attention,
             window_attn_impl=c.window_attn_impl,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=c.prompt_embed_dim,
