@@ -19,10 +19,12 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from samrs_tpu.kernels.bilinear_gather import dcnv3_pallas
 from samrs_tpu.kernels.sampling import dcnv3
 from samrs_tpu.nn.layers import DropPath, MLPBlock
 
@@ -30,12 +32,18 @@ Dtype = Any
 
 
 class DCNv3Module(nn.Module):
-    """Full DCNv3 block op (ops_dcnv3/modules/dcnv3.py:221-320)."""
+    """Full DCNv3 block op (ops_dcnv3/modules/dcnv3.py:221-320).
+
+    impl='pallas' routes the sampling core through the hat-weight-matmul
+    Pallas kernel (kernels/bilinear_gather.py — all MXU work, no gathers);
+    'xla' keeps the gather+weighted-sum oracle (kernels/sampling.py).
+    """
 
     channels: int
     groups: int
     kernel_size: int = 3
     offset_scale: float = 1.0
+    impl: str = "pallas"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,12 +67,20 @@ class DCNv3Module(nn.Module):
                         bias_init=nn.initializers.zeros)(f)
         B, H, W, _ = x.shape
         mask = nn.softmax(mask.reshape(B, H, W, G, K), axis=-1).reshape(B, H, W, G * K)
-        out = dcnv3(
-            value.astype(jnp.float32), offset, mask,
-            self.kernel_size, self.kernel_size,
-            pad_h=self.kernel_size // 2, pad_w=self.kernel_size // 2,
-            groups=G, group_channels=Gc, offset_scale=self.offset_scale,
-        )
+        if self.impl == "pallas" and jax.default_backend() == "tpu":
+            # matmul-form sampling: bf16 stays bf16 on the MXU, fp32 accum
+            out = dcnv3_pallas(
+                value, offset, mask, self.kernel_size, self.kernel_size,
+                1, 1, self.kernel_size // 2, self.kernel_size // 2, 1, 1,
+                G, Gc, self.offset_scale,
+            )
+        else:
+            out = dcnv3(
+                value.astype(jnp.float32), offset, mask,
+                self.kernel_size, self.kernel_size,
+                pad_h=self.kernel_size // 2, pad_w=self.kernel_size // 2,
+                groups=G, group_channels=Gc, offset_scale=self.offset_scale,
+            )
         return nn.Dense(C, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
 
 
@@ -75,6 +91,7 @@ class InternImageBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale: Optional[float] = None
     post_norm: bool = False
+    dcn_impl: str = "pallas"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,7 +103,8 @@ class InternImageBlock(nn.Module):
                               (self.channels,))
 
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        y = DCNv3Module(self.channels, self.groups, dtype=self.dtype, name="dcn")(y)
+        y = DCNv3Module(self.channels, self.groups, impl=self.dcn_impl,
+                        dtype=self.dtype, name="dcn")(y)
         x = x + DropPath(self.drop_path, name="dp1")(maybe_scale("gamma1") * y, not train)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = MLPBlock(int(self.channels * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
@@ -101,6 +119,7 @@ class InternImage(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
+    dcn_impl: str = "pallas"
     dtype: Dtype = jnp.float32
 
     @property
@@ -128,7 +147,8 @@ class InternImage(nn.Module):
                 x = InternImageBlock(
                     channels=ch, groups=self.groups[lvl], mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[blk]), layer_scale=self.layer_scale,
-                    dtype=self.dtype, name=f"level{lvl}_block{b}",
+                    dcn_impl=self.dcn_impl, dtype=self.dtype,
+                    name=f"level{lvl}_block{b}",
                 )(x, train)
                 blk += 1
             # per-level out-norm, applied before BOTH the feature output and

@@ -1,0 +1,88 @@
+"""Pallas DCNv3 bilinear-gather kernel vs the pure-JAX oracle
+(kernels/sampling.py::dcnv3 — itself torch-grid_sample-parity-tested).
+
+Interpret mode on CPU; the compiled-TPU A/B lives in bench_train.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samrs_tpu.kernels.bilinear_gather import dcnv3_pallas
+from samrs_tpu.kernels.sampling import dcnv3
+
+
+def _make(rng, B, H, W, G, Gc, K, Ho=None, Wo=None, off_range=2.5):
+    Ho, Wo = Ho or H, Wo or W
+    x = rng.normal(size=(B, H, W, G * Gc)).astype(np.float32)
+    # keep offsets away from exact integers so d(hat)/dt is well-defined
+    offset = (rng.random((B, Ho, Wo, G * K * 2)) * 2 - 1) * off_range + 0.123
+    offset = offset.astype(np.float32)
+    mask = rng.random((B, Ho, Wo, G * K)).astype(np.float32)
+    mask = mask.reshape(B, Ho, Wo, G, K)
+    mask = mask / mask.sum(-1, keepdims=True)
+    return jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask.reshape(B, Ho, Wo, G * K))
+
+
+CASES = [
+    # kh, kw, sh, sw, ph, pw, dh, dw, G, Gc, H, W, scale
+    (3, 3, 1, 1, 1, 1, 1, 1, 2, 16, 10, 12, 1.0),   # internimage shape class
+    (3, 3, 1, 1, 1, 1, 1, 1, 1, 8, 7, 9, 0.5),      # odd sizes, scale != 1
+    (3, 3, 2, 2, 1, 1, 1, 1, 2, 4, 12, 8, 1.0),     # stride 2
+    (3, 3, 1, 1, 2, 2, 2, 2, 1, 4, 11, 11, 1.0),    # dilation 2
+    (1, 1, 1, 1, 0, 0, 1, 1, 3, 4, 6, 6, 1.0),      # K=1 degenerate
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_forward_matches_oracle(rng, case):
+    kh, kw, sh, sw, ph, pw, dh, dw, G, Gc, H, W, scale = case
+    Ho = (H + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    Wo = (W + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+    x, off, m = _make(rng, 2, H, W, G, Gc, kh * kw, Ho, Wo)
+    args = (kh, kw, sh, sw, ph, pw, dh, dw, G, Gc, scale)
+    ref = dcnv3(x, off, m, *args)
+    out = dcnv3_pallas(x, off, m, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_oracle(rng):
+    kh = kw = 3
+    G, Gc, H, W = 2, 8, 9, 10
+    x, off, m = _make(rng, 2, H, W, G, Gc, 9)
+    args = (kh, kw, 1, 1, 1, 1, 1, 1, G, Gc, 1.0)
+
+    def loss_ref(x, off, m):
+        return jnp.sum(jnp.sin(dcnv3(x, off, m, *args)))
+
+    def loss_ker(x, off, m):
+        return jnp.sum(jnp.sin(dcnv3_pallas(x, off, m, *args, interpret=True)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, off, m)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, off, m)
+    for a, b, name in zip(gr, gk, ["dx", "doffset", "dmask"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
+def test_bf16_path_close(rng):
+    """bf16 features run the matmuls in bf16; stay within bf16 tolerance."""
+    G, Gc, H, W = 2, 16, 8, 8
+    x, off, m = _make(rng, 1, H, W, G, Gc, 9, off_range=1.5)
+    args = (3, 3, 1, 1, 1, 1, 1, 1, G, Gc, 1.0)
+    ref = dcnv3(x, off, m, *args)
+    out = dcnv3_pallas(x.astype(jnp.bfloat16), off, m, *args, interpret=True)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
+def test_nonmultiple_p_padding(rng):
+    """P = Ho*Wo not a multiple of the block size exercises the pad path."""
+    G, Gc = 1, 4
+    x, off, m = _make(rng, 1, 13, 11, G, Gc, 9)
+    args = (3, 3, 1, 1, 1, 1, 1, 1, G, Gc, 1.0)
+    ref = dcnv3(x, off, m, *args)
+    out = dcnv3_pallas(x, off, m, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
