@@ -1,10 +1,13 @@
-"""Pallas DCNv3 bilinear-gather kernel: deformable sampling as MXU matmuls.
+"""Pallas bilinear-gather kernels: deformable sampling as MXU matmuls.
 
-The reference computes DCNv3 with CUDA im2col gathers and an atomicAdd
-scatter backward (ED/backbone/ops_dcnv3/src/cuda/dcnv3_im2col_cuda.cuh).
-XLA's lowering of the equivalent gather/scatter (kernels/sampling.py::dcnv3)
-is the round-1 production path, but it dominates InternImage's step time
-(~16x slower than swin per bench_train.py).
+The reference computes DCNv3 / MSDeformAttn / grid_sample with CUDA im2col
+gathers and atomicAdd scatter backwards
+(ED/backbone/ops_dcnv3/src/cuda/dcnv3_im2col_cuda.cuh,
+ED/backbone/ops/src/cuda/ms_deform_im2col_cuda.cuh).  XLA's lowering of the
+equivalent gather/scatter (kernels/sampling.py) is correct but slow on TPU:
+measured with a LICM-proof harness, the DCNv3 gathers alone cost 1349 ms
+fwd+bwd per internimage_t step (B=12 @224) and one MSDeformAttn call costs
+67 ms.
 
 TPU-native re-design — the "hat-weight matmul" formulation.  Bilinear
 interpolation with zero padding is exactly
@@ -23,20 +26,30 @@ tiny hat-banded matrices — MXU work instead of random access:
     matmul ``@ E2`` reduces over x:               (P_blk, Gc)     [MXU]
 
 The backward is transposed hat matmuls (``dXg += WyT @ dT``) — the CUDA
-scatter-add disappears entirely.  Offset gradients flow through the hat
-derivative (piecewise +-1), matching grid_sample's coordinate gradients a.e.
+scatter-add disappears entirely.  Coordinate gradients flow through the hat
+derivative (piecewise +-1), matching grid_sample's a.e.
 
-Numerics: hat weights are computed in fp32; the two matmuls run in the
-input dtype (bf16 on the training path, fp32 in parity tests) with fp32
-accumulation.  Semantics match kernels/sampling.py::dcnv3 exactly (same
-column-major tap order, align_corners=False half-pixel convention); the
-pure-JAX ``dcnv3`` is the oracle in tests/test_bilinear_gather.py.
+Architecture: one ``custom_vjp`` core over ABSOLUTE pixel coordinates
+(`_sample_ws`), and three thin differentiable wrappers — ``dcnv3_pallas``
+(base-grid + offsets, kernels/sampling.py::dcnv3 semantics),
+``grid_sample_pallas`` (K=1, normalized grids, both align_corners modes) and
+``ms_deform_attn_pallas`` (per-level taps weighted by attention weights).
+Layout prep / coordinate algebra in the wrappers is plain JAX, so autodiff
+chains through them into the core's hand-written VJP.
+
+Numerics: hat weights are fp32; the two matmuls run in the feature dtype
+(bf16 on the training path, fp32 in parity tests) with fp32 accumulation.
+The pure-JAX forms in kernels/sampling.py are the oracles
+(tests/test_bilinear_gather.py).
+
+A/B (v5e, LICM-proof harness, internimage_t stage shapes, B=12, all 30
+blocks): fwd 75.8 ms vs 446.7 XLA; fwd+bwd 171.8 ms vs 1348.5 XLA (7.8x).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,27 +61,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _base_grid(
-    Ho: int, Wo: int, kernel_h: int, kernel_w: int,
-    stride_h: int, stride_w: int, pad_h: int, pad_w: int,
-    dilation_h: int, dilation_w: int,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(P, K) fp32 base sampling coords (x, y) in source-pixel space with the
-    half-pixel align_corners=False shift already applied (fx = px - 0.5).
-    Tap order k = iw*kh + ih (column-major, dcnv3_func.py:142-160)."""
-    ref_y = np.arange(Ho) * stride_h - pad_h + (dilation_h * (kernel_h - 1)) // 2 + 0.5
-    ref_x = np.arange(Wo) * stride_w - pad_w + (dilation_w * (kernel_w - 1)) // 2 + 0.5
-    ky = np.arange(kernel_h) * dilation_h - (dilation_h * (kernel_h - 1)) // 2
-    kx = np.arange(kernel_w) * dilation_w - (dilation_w * (kernel_w - 1)) // 2
-    tap_y = np.broadcast_to(ky[None, :], (kernel_w, kernel_h)).reshape(-1)  # (K,)
-    tap_x = np.broadcast_to(kx[:, None], (kernel_w, kernel_h)).reshape(-1)
-    by = (ref_y[:, None, None] + tap_y[None, None, :])  # (Ho, 1, K)
-    bx = (ref_x[None, :, None] + tap_x[None, None, :])  # (1, Wo, K)
-    base_y = np.broadcast_to(by, (Ho, Wo, len(tap_y))).reshape(Ho * Wo, -1)
-    base_x = np.broadcast_to(bx, (Ho, Wo, len(tap_x))).reshape(Ho * Wo, -1)
-    return (base_x - 0.5).astype(np.float32), (base_y - 0.5).astype(np.float32)
-
-
 def _hat(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
@@ -78,13 +70,13 @@ def _dhat(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
 
 
-def _fwd_kernel(bx_ref, by_ref, offx_ref, offy_ref, mask_ref, xg_ref, e2_ref,
-                out_ref, *, K, Gc, offset_scale, mm_dtype):
+def _fwd_kernel(fx_ref, fy_ref, mask_ref, xg_ref, e2_ref, out_ref,
+                *, K, Gc, mm_dtype):
     H = xg_ref.shape[1]
-    P = offx_ref.shape[1]
+    P = fx_ref.shape[1]
     WGc = xg_ref.shape[2]
-    fx = bx_ref[...] + offx_ref[0] * offset_scale  # (P, K) fp32
-    fy = by_ref[...] + offy_ref[0] * offset_scale
+    fx = fx_ref[0]  # (P, K) fp32 absolute pixel coords
+    fy = fy_ref[0]
     lane_x = (jax.lax.broadcasted_iota(jnp.int32, (P, WGc), 1) // Gc).astype(jnp.float32)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1).astype(jnp.float32)
     xg = xg_ref[0].astype(mm_dtype)
@@ -100,21 +92,20 @@ def _fwd_kernel(bx_ref, by_ref, offx_ref, offy_ref, mask_ref, xg_ref, e2_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(bx_ref, by_ref, byT_ref, offx_ref, offy_ref, offyT_ref,
-                mask_ref, xg_ref, xgT_ref, e2T_ref, dout_ref,
-                dxg_ref, doffx_ref, doffy_ref, dmask_ref,
-                *, K, Gc, offset_scale, mm_dtype):
+def _bwd_kernel(fx_ref, fy_ref, fyT_ref, mask_ref, xg_ref, xgT_ref, e2T_ref,
+                dout_ref, dxg_ref, dfx_ref, dfy_ref, dmask_ref,
+                *, K, Gc, mm_dtype):
     H = xg_ref.shape[1]
-    P = offx_ref.shape[1]
+    P = fx_ref.shape[1]
     WGc = xg_ref.shape[2]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dxg_ref[0] = jnp.zeros_like(dxg_ref[0])
 
-    fx = bx_ref[...] + offx_ref[0] * offset_scale  # (P, K)
-    fy = by_ref[...] + offy_ref[0] * offset_scale
-    fyT = byT_ref[...] + offyT_ref[0] * offset_scale  # (K, P)
+    fx = fx_ref[0]  # (P, K)
+    fy = fy_ref[0]
+    fyT = fyT_ref[0]  # (K, P)
     lane_x = (jax.lax.broadcasted_iota(jnp.int32, (P, WGc), 1) // Gc).astype(jnp.float32)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1).astype(jnp.float32)
     iota_hT = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0).astype(jnp.float32)
@@ -148,21 +139,9 @@ def _bwd_kernel(bx_ref, by_ref, byT_ref, offx_ref, offy_ref, offyT_ref,
                           preferred_element_type=jnp.float32)  # (P, H)
         dfy_cols.append(jnp.sum(dwy * _dhat(ty), axis=1, keepdims=True))
     dxg_ref[0] += dxg_acc.astype(dxg_ref.dtype)
-    doffx_ref[0] = (jnp.concatenate(dfx_cols, axis=1) * offset_scale).astype(doffx_ref.dtype)
-    doffy_ref[0] = (jnp.concatenate(dfy_cols, axis=1) * offset_scale).astype(doffy_ref.dtype)
+    dfx_ref[0] = jnp.concatenate(dfx_cols, axis=1).astype(dfx_ref.dtype)
+    dfy_ref[0] = jnp.concatenate(dfy_cols, axis=1).astype(dfy_ref.dtype)
     dmask_ref[0] = jnp.concatenate(dmask_cols, axis=1).astype(dmask_ref.dtype)
-
-
-def _prep(x, offset, mask, G, Gc, K):
-    """Layout prep (XLA, fused): group-major features + per-group tap arrays."""
-    B, H, W, _ = x.shape
-    _, Ho, Wo, _ = offset.shape
-    P = Ho * Wo
-    xg = x.reshape(B, H, W, G, Gc).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W * Gc)
-    off = offset.reshape(B, P, G, K, 2).transpose(0, 2, 1, 3, 4).reshape(B * G, P, K, 2)
-    offx, offy = off[..., 0], off[..., 1]
-    m = mask.reshape(B, P, G, K).transpose(0, 2, 1, 3).reshape(B * G, P, K)
-    return xg, offx, offy, m
 
 
 def _block_size(P: int) -> int:
@@ -176,10 +155,139 @@ def _pad_p(a: jnp.ndarray, Pp: int):
     return jnp.pad(a, ((0, 0), (0, Pp - P), (0, 0)))
 
 
-@functools.partial(
-    jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
-)
+def _e2(W: int, Gc: int) -> np.ndarray:
+    """(W*Gc, Gc) 0/1 expansion: reduces lanes over x, keeps the channel."""
+    return np.eye(Gc, dtype=np.float32)[np.tile(np.arange(Gc), W)]
+
+
+# ---------------------------------------------------------------------------
+# Core: weighted bilinear gather over ABSOLUTE pixel coordinates.
+# custom_vjp closes over the static (Gc, interpret) pair — one specialized
+# sampler per pair, cached.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sampler(Gc: int, interpret: bool):
+    def fwd_call(xg, fx, fy, mask):
+        BG, H, WGc = xg.shape
+        _, P, K = fx.shape
+        W = WGc // Gc
+        P_blk = _block_size(P)
+        Pp = _round_up(P, P_blk)
+        mm_dtype = xg.dtype if xg.dtype == jnp.bfloat16 else jnp.float32
+        fxp, fyp, mp = _pad_p(fx, Pp), _pad_p(fy, Pp), _pad_p(mask, Pp)
+        e2 = jnp.asarray(_e2(W, Gc))
+        nblk = Pp // P_blk
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, K=K, Gc=Gc, mm_dtype=mm_dtype),
+            grid=(BG, nblk),
+            in_specs=[
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fx
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fy
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # mask
+                pl.BlockSpec((1, H, WGc), lambda bg, p: (bg, 0, 0)),     # xg
+                pl.BlockSpec((WGc, Gc), lambda bg, p: (0, 0)),           # e2
+            ],
+            out_specs=pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),
+            out_shape=jax.ShapeDtypeStruct((BG, Pp, Gc), jnp.float32),
+            interpret=interpret,
+        )(fxp, fyp, mp, xg, e2)
+        return out[:, :P]
+
+    def bwd_call(xg, fx, fy, mask, dout):
+        BG, H, WGc = xg.shape
+        _, P, K = fx.shape
+        W = WGc // Gc
+        P_blk = _block_size(P)
+        Pp = _round_up(P, P_blk)
+        mm_dtype = xg.dtype if xg.dtype == jnp.bfloat16 else jnp.float32
+        fxp, fyp, mp = _pad_p(fx, Pp), _pad_p(fy, Pp), _pad_p(mask, Pp)
+        fyT = fyp.transpose(0, 2, 1)  # (BG, K, Pp)
+        xgT = xg.transpose(0, 2, 1)   # (BG, WGc, H)
+        e2T = jnp.asarray(_e2(W, Gc).T)
+        dout_p = _pad_p(dout, Pp).astype(jnp.float32)
+        nblk = Pp // P_blk
+        dxg, dfx, dfy, dm = pl.pallas_call(
+            functools.partial(_bwd_kernel, K=K, Gc=Gc, mm_dtype=mm_dtype),
+            grid=(BG, nblk),
+            in_specs=[
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fx
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fy
+                pl.BlockSpec((1, K, P_blk), lambda bg, p: (bg, 0, p)),   # fyT
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # mask
+                pl.BlockSpec((1, H, WGc), lambda bg, p: (bg, 0, 0)),     # xg
+                pl.BlockSpec((1, WGc, H), lambda bg, p: (bg, 0, 0)),     # xgT
+                pl.BlockSpec((Gc, WGc), lambda bg, p: (0, 0)),           # e2T
+                pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),  # dout
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H, WGc), lambda bg, p: (bg, 0, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BG, H, WGc), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+            ],
+            interpret=interpret,
+        )(fxp, fyp, fyT, mp, xg, xgT, e2T, dout_p)
+        return (dxg.astype(xg.dtype), dfx[:, :P], dfy[:, :P], dm[:, :P])
+
+    @jax.custom_vjp
+    def sampler(xg, fx, fy, mask):
+        return fwd_call(xg, fx, fy, mask)
+
+    def sampler_fwd(xg, fx, fy, mask):
+        return fwd_call(xg, fx, fy, mask), (xg, fx, fy, mask)
+
+    def sampler_bwd(res, dout):
+        return bwd_call(*res, dout)
+
+    sampler.defvjp(sampler_fwd, sampler_bwd)
+    return sampler
+
+
+def sample_weighted(xg: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                    mask: jnp.ndarray, group_channels: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Weighted bilinear gather core (absolute pixel coords, zero padding).
+
+    xg (BG, H, W*Gc) any float dtype; fx/fy/mask (BG, P, K) fp32.
+    Returns (BG, P, Gc) fp32: sum_k mask_k * xg[fy_k, fx_k, :].
+    """
+    return _make_sampler(int(group_channels), bool(interpret))(xg, fx, fy, mask)
+
+
+# ---------------------------------------------------------------------------
+# DCNv3 (kernels/sampling.py::dcnv3 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _dcnv3_base_grid(
+    Ho: int, Wo: int, kernel_h: int, kernel_w: int,
+    stride_h: int, stride_w: int, pad_h: int, pad_w: int,
+    dilation_h: int, dilation_w: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(P, K) fp32 base sampling coords (x, y) in source-pixel space with the
+    half-pixel align_corners=False shift already applied (fx = px - 0.5).
+    Tap order k = iw*kh + ih (column-major, dcnv3_func.py:142-160)."""
+    ref_y = np.arange(Ho) * stride_h - pad_h + (dilation_h * (kernel_h - 1)) // 2 + 0.5
+    ref_x = np.arange(Wo) * stride_w - pad_w + (dilation_w * (kernel_w - 1)) // 2 + 0.5
+    ky = np.arange(kernel_h) * dilation_h - (dilation_h * (kernel_h - 1)) // 2
+    kx = np.arange(kernel_w) * dilation_w - (dilation_w * (kernel_w - 1)) // 2
+    tap_y = np.broadcast_to(ky[None, :], (kernel_w, kernel_h)).reshape(-1)  # (K,)
+    tap_x = np.broadcast_to(kx[:, None], (kernel_w, kernel_h)).reshape(-1)
+    by = (ref_y[:, None, None] + tap_y[None, None, :])  # (Ho, 1, K)
+    bx = (ref_x[None, :, None] + tap_x[None, None, :])  # (1, Wo, K)
+    base_y = np.broadcast_to(by, (Ho, Wo, len(tap_y))).reshape(Ho * Wo, -1)
+    base_x = np.broadcast_to(bx, (Ho, Wo, len(tap_x))).reshape(Ho * Wo, -1)
+    return (base_x - 0.5).astype(np.float32), (base_y - 0.5).astype(np.float32)
+
+
 def dcnv3_pallas(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -200,131 +308,97 @@ def dcnv3_pallas(
     """DCNv3 core, same semantics as kernels/sampling.py::dcnv3 (NHWC).
 
     x (B,H,W,G*Gc) any float dtype; offset (B,Ho,Wo,G*K*2) and mask
-    (B,Ho,Wo,G*K) fp32.  Returns (B,Ho,Wo,G*Gc) fp32.  Matmuls run in
-    x.dtype (bf16 stays bf16 on the MXU) with fp32 accumulation.
+    (B,Ho,Wo,G*K) fp32.  Returns (B,Ho,Wo,G*Gc) fp32.
     """
-    out, _ = _dcnv3_fwd(
-        x, offset, mask, kernel_h, kernel_w, stride_h, stride_w, pad_h, pad_w,
-        dilation_h, dilation_w, groups, group_channels, offset_scale, interpret,
-    )
-    return out
-
-
-def _dcnv3_fwd(x, offset, mask, kernel_h, kernel_w, stride_h, stride_w,
-               pad_h, pad_w, dilation_h, dilation_w, groups, group_channels,
-               offset_scale, interpret):
     B, H, W, _ = x.shape
     _, Ho, Wo, _ = offset.shape
     G, Gc, K = groups, group_channels, kernel_h * kernel_w
     P = Ho * Wo
-    P_blk = _block_size(P)
-    Pp = _round_up(P, P_blk)
-    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    xg, offx, offy, m = _prep(x, offset, mask, G, Gc, K)
-    bx, by = _base_grid(Ho, Wo, kernel_h, kernel_w, stride_h, stride_w,
-                        pad_h, pad_w, dilation_h, dilation_w)
-    bx = jnp.asarray(np.pad(bx, ((0, Pp - P), (0, 0))))
-    by = jnp.asarray(np.pad(by, ((0, Pp - P), (0, 0))))
-    offx, offy, m = _pad_p(offx, Pp), _pad_p(offy, Pp), _pad_p(m, Pp)
-    e2 = jnp.asarray(
-        np.eye(Gc, dtype=np.float32)[np.tile(np.arange(Gc), W)]
-    )  # (W*Gc, Gc) 0/1 expansion: reduces lanes over x, keeps d
+    xg = x.reshape(B, H, W, G, Gc).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W * Gc)
+    off = offset.reshape(B, P, G, K, 2).transpose(0, 2, 1, 3, 4).reshape(B * G, P, K, 2)
+    m = mask.reshape(B, P, G, K).transpose(0, 2, 1, 3).reshape(B * G, P, K)
+    bx, by = _dcnv3_base_grid(Ho, Wo, kernel_h, kernel_w, stride_h, stride_w,
+                              pad_h, pad_w, dilation_h, dilation_w)
+    fx = jnp.asarray(bx) + off[..., 0] * offset_scale
+    fy = jnp.asarray(by) + off[..., 1] * offset_scale
 
-    nblk = Pp // P_blk
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, Gc=Gc, offset_scale=offset_scale,
-                          mm_dtype=mm_dtype),
-        grid=(B * G, nblk),
-        in_specs=[
-            pl.BlockSpec((P_blk, K), lambda bg, p: (p, 0)),       # base x
-            pl.BlockSpec((P_blk, K), lambda bg, p: (p, 0)),       # base y
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # off x
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # off y
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # mask
-            pl.BlockSpec((1, H, W * Gc), lambda bg, p: (bg, 0, 0)),  # xg
-            pl.BlockSpec((W * Gc, Gc), lambda bg, p: (0, 0)),     # e2
-        ],
-        out_specs=pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * G, Pp, Gc), jnp.float32),
-        interpret=interpret,
-    )(bx, by, offx, offy, m, xg, e2)
-
-    out = out[:, :P].reshape(B, G, Ho, Wo, Gc).transpose(0, 2, 3, 1, 4)
-    out = out.reshape(B, Ho, Wo, G * Gc)
-    return out, (x, offset, mask)
+    out = sample_weighted(xg, fx, fy, m, Gc, interpret)  # (BG, P, Gc)
+    out = out.reshape(B, G, Ho, Wo, Gc).transpose(0, 2, 3, 1, 4)
+    return out.reshape(B, Ho, Wo, G * Gc)
 
 
-def _dcnv3_bwd(kernel_h, kernel_w, stride_h, stride_w, pad_h, pad_w,
-               dilation_h, dilation_w, groups, group_channels, offset_scale,
-               interpret, res, dout):
-    x, offset, mask = res
-    B, H, W, _ = x.shape
-    _, Ho, Wo, _ = offset.shape
-    G, Gc, K = groups, group_channels, kernel_h * kernel_w
+# ---------------------------------------------------------------------------
+# grid_sample (kernels/sampling.py::grid_sample semantics, K=1)
+# ---------------------------------------------------------------------------
+
+
+def grid_sample_pallas(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """torch-compatible bilinear grid sample, NHWC, zero padding.
+
+    img (B,H,W,C) any float dtype; grid (B,Ho,Wo,2) normalized [-1,1].
+    Returns (B,Ho,Wo,C) fp32.  Oracle: kernels/sampling.py::grid_sample.
+    """
+    B, H, W, C = img.shape
+    _, Ho, Wo, _ = grid.shape
     P = Ho * Wo
-    P_blk = _block_size(P)
-    Pp = _round_up(P, P_blk)
-    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-
-    xg, offx, offy, m = _prep(x, offset, mask, G, Gc, K)
-    xgT = xg.transpose(0, 2, 1)  # (BG, W*Gc, H)
-    bx, by = _base_grid(Ho, Wo, kernel_h, kernel_w, stride_h, stride_w,
-                        pad_h, pad_w, dilation_h, dilation_w)
-    bx = jnp.asarray(np.pad(bx, ((0, Pp - P), (0, 0))))
-    by = jnp.asarray(np.pad(by, ((0, Pp - P), (0, 0))))
-    byT = by.T  # (K, Pp)
-    offx, offy, m = _pad_p(offx, Pp), _pad_p(offy, Pp), _pad_p(m, Pp)
-    offyT = offy.transpose(0, 2, 1)  # (BG, K, Pp)
-    e2T = jnp.asarray(
-        np.eye(Gc, dtype=np.float32)[np.tile(np.arange(Gc), W)].T
-    )  # (Gc, W*Gc)
-
-    dout_g = dout.reshape(B, Ho * Wo, G, Gc).transpose(0, 2, 1, 3)
-    dout_g = _pad_p(dout_g.reshape(B * G, P, Gc), Pp).astype(jnp.float32)
-
-    nblk = Pp // P_blk
-    dxg, doffx, doffy, dm = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, Gc=Gc, offset_scale=offset_scale,
-                          mm_dtype=mm_dtype),
-        grid=(B * G, nblk),
-        in_specs=[
-            pl.BlockSpec((P_blk, K), lambda bg, p: (p, 0)),        # base x
-            pl.BlockSpec((P_blk, K), lambda bg, p: (p, 0)),        # base y
-            pl.BlockSpec((K, P_blk), lambda bg, p: (0, p)),        # base yT
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # off x
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # off y
-            pl.BlockSpec((1, K, P_blk), lambda bg, p: (bg, 0, p)),  # off yT
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),  # mask
-            pl.BlockSpec((1, H, W * Gc), lambda bg, p: (bg, 0, 0)),  # xg
-            pl.BlockSpec((1, W * Gc, H), lambda bg, p: (bg, 0, 0)),  # xgT
-            pl.BlockSpec((Gc, W * Gc), lambda bg, p: (0, 0)),      # e2T
-            pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),  # dout
-        ],
-        out_specs=[
-            pl.BlockSpec((1, H, W * Gc), lambda bg, p: (bg, 0, 0)),
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
-            pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B * G, H, W * Gc), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, Pp, K), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, Pp, K), jnp.float32),
-            jax.ShapeDtypeStruct((B * G, Pp, K), jnp.float32),
-        ],
-        interpret=interpret,
-    )(bx, by, jnp.asarray(byT), offx, offy, offyT, m, xg, xgT, e2T, dout_g)
-
-    # un-prep layouts
-    dx = dxg.reshape(B, G, H, W, Gc).transpose(0, 2, 3, 1, 4)
-    dx = dx.reshape(B, H, W, G * Gc).astype(x.dtype)
-    doff = jnp.stack([doffx[:, :P], doffy[:, :P]], axis=-1)  # (BG, P, K, 2)
-    doff = doff.reshape(B, G, Ho, Wo, K, 2).transpose(0, 2, 3, 1, 4, 5)
-    doff = doff.reshape(B, Ho, Wo, G * K * 2).astype(offset.dtype)
-    dmask = dm[:, :P].reshape(B, G, Ho, Wo, K).transpose(0, 2, 3, 1, 4)
-    dmask = dmask.reshape(B, Ho, Wo, G * K).astype(mask.dtype)
-    return dx, doff, dmask
+    gx = grid[..., 0].reshape(B, P, 1)
+    gy = grid[..., 1].reshape(B, P, 1)
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (W - 1)
+        fy = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        fx = ((gx + 1.0) * W - 1.0) * 0.5
+        fy = ((gy + 1.0) * H - 1.0) * 0.5
+    xg = img.reshape(B, H, W * C)
+    ones = jnp.ones((B, P, 1), jnp.float32)
+    out = sample_weighted(xg, fx.astype(jnp.float32), fy.astype(jnp.float32),
+                          ones, C, interpret)
+    return out.reshape(B, Ho, Wo, C)
 
 
-dcnv3_pallas.defvjp(_dcnv3_fwd, _dcnv3_bwd)
+# ---------------------------------------------------------------------------
+# MSDeformAttn (kernels/sampling.py::ms_deform_attn semantics)
+# ---------------------------------------------------------------------------
+
+
+def ms_deform_attn_pallas(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-scale deformable attention on the hat-matmul core.
+
+    value (B,S,nH,D); spatial_shapes static [(H_l,W_l)], sum == S;
+    sampling_locations (B,Q,nH,L,P,2) in [0,1]; attention_weights
+    (B,Q,nH,L,P).  Returns (B,Q,nH*D) fp32.
+    Oracle: kernels/sampling.py::ms_deform_attn (itself parity-tested against
+    ms_deform_attn_core_pytorch, ED/backbone/ops/functions/ms_deform_attn_func.py:49-71).
+    """
+    B, S, nH, D = value.shape
+    _, Q, _, L, Pt, _ = sampling_locations.shape
+    splits = [h * w for h, w in spatial_shapes]
+    split_pts = list(np.cumsum(splits)[:-1])
+    values = jnp.split(value, split_pts, axis=1)
+    out = jnp.zeros((B * nH, Q, D), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = values[lvl].reshape(B, h, w, nH, D).transpose(0, 3, 1, 2, 4)
+        xg = v.reshape(B * nH, h, w * D)
+        # [0,1] -> pixel coords, align_corners=False: fx = loc*W - 0.5
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, nH, Pt, 2)
+        loc = loc.transpose(0, 2, 1, 3, 4).reshape(B * nH, Q, Pt, 2)
+        fx = loc[..., 0] * w - 0.5
+        fy = loc[..., 1] * h - 0.5
+        wts = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        wts = wts.reshape(B * nH, Q, Pt).astype(jnp.float32)
+        out = out + sample_weighted(xg, fx.astype(jnp.float32),
+                                    fy.astype(jnp.float32), wts, D, interpret)
+    out = out.reshape(B, nH, Q, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Q, nH * D)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from samrs_tpu.kernels.bilinear_gather import grid_sample_pallas
 from samrs_tpu.kernels.sampling import grid_sample
 from samrs_tpu.sam.image_encoder import get_rel_pos
 from samrs_tpu.seg.backbones.vit_common import FullAttentionRelPos, ViTBlock, ViTFPNNeck
@@ -124,8 +125,14 @@ class RotatedVariedSizeWindowAttention(nn.Module):
         qkv = jnp.pad(qkv, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)))
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B*nH, eh, ew, hd)
 
-        k_sel = grid_sample(k.astype(jnp.float32), grid, align_corners=True)
-        v_sel = grid_sample(v.astype(jnp.float32), grid, align_corners=True)
+        if jax.default_backend() == "tpu":
+            # hat-matmul Pallas core (kernels/bilinear_gather.py): bilinear
+            # sampling as MXU matmuls; bf16 K/V stay bf16, fp32 accumulation
+            k_sel = grid_sample_pallas(k, grid, align_corners=True)
+            v_sel = grid_sample_pallas(v, grid, align_corners=True)
+        else:
+            k_sel = grid_sample(k.astype(jnp.float32), grid, align_corners=True)
+            v_sel = grid_sample(v.astype(jnp.float32), grid, align_corners=True)
 
         def to_windows(t):  # (B*nH, eh, ew, hd) -> (B*nwh*nww, nH, ws*ws, hd)
             t = t.reshape(B, nH, nwh, ws, nww, ws, hd)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from samrs_tpu.kernels.bilinear_gather import ms_deform_attn_pallas
 from samrs_tpu.kernels.sampling import ms_deform_attn
 from samrs_tpu.nn.layers import DropPath, MLPBlock
 from samrs_tpu.seg.backbones.vit import PlainAttention
@@ -92,7 +93,12 @@ class MSDeformAttnModule(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / wh[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
+        if jax.default_backend() == "tpu":
+            # hat-matmul Pallas core (kernels/bilinear_gather.py); bf16 stays
+            # bf16 on the MXU, fp32 accumulation
+            out = ms_deform_attn_pallas(v, spatial_shapes, locations, weights)
+        else:
+            out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(
             out.astype(self.dtype)
         )

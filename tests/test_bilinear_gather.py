@@ -9,8 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from samrs_tpu.kernels.bilinear_gather import dcnv3_pallas
-from samrs_tpu.kernels.sampling import dcnv3
+from samrs_tpu.kernels.bilinear_gather import (
+    dcnv3_pallas,
+    grid_sample_pallas,
+    ms_deform_attn_pallas,
+)
+from samrs_tpu.kernels.sampling import dcnv3, grid_sample, ms_deform_attn
 
 
 def _make(rng, B, H, W, G, Gc, K, Ho=None, Wo=None, off_range=2.5):
@@ -76,6 +80,67 @@ def test_bf16_path_close(rng):
     out = dcnv3_pallas(x.astype(jnp.bfloat16), off, m, *args, interpret=True)
     assert out.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_matches_oracle(rng, align_corners):
+    img = jnp.asarray(rng.normal(size=(3, 9, 11, 8)), jnp.float32)
+    grid = jnp.asarray(rng.random((3, 6, 7, 2)) * 2.4 - 1.2 + 0.017, jnp.float32)
+    ref = grid_sample(img, grid, align_corners=align_corners)
+    out = grid_sample_pallas(img, grid, align_corners=align_corners, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_grid_sample_gradients_match_oracle(rng):
+    img = jnp.asarray(rng.normal(size=(2, 7, 7, 4)), jnp.float32)
+    grid = jnp.asarray(rng.random((2, 5, 5, 2)) * 1.7 - 0.85 + 0.013, jnp.float32)
+
+    def l_ref(i, g):
+        return jnp.sum(jnp.cos(grid_sample(i, g, align_corners=True)))
+
+    def l_ker(i, g):
+        return jnp.sum(jnp.cos(
+            grid_sample_pallas(i, g, align_corners=True, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1))(img, grid)
+    gk = jax.grad(l_ker, argnums=(0, 1))(img, grid)
+    for a, b, name in zip(gr, gk, ["dimg", "dgrid"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def _msda_inputs(rng, B=2, nH=3, D=8, Pt=4, shapes=((6, 7), (3, 4))):
+    S = sum(h * w for h, w in shapes)
+    Q = 11
+    val = jnp.asarray(rng.normal(size=(B, S, nH, D)), jnp.float32)
+    loc = jnp.asarray(rng.random((B, Q, nH, len(shapes), Pt, 2)) * 1.2 - 0.1,
+                      jnp.float32)  # includes out-of-range
+    w = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, Q, nH, len(shapes), Pt)), jnp.float32))
+    return val, list(shapes), loc, w
+
+
+def test_ms_deform_attn_matches_oracle(rng):
+    val, shapes, loc, w = _msda_inputs(rng)
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_pallas(val, shapes, loc, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_ms_deform_attn_gradients_match_oracle(rng):
+    val, shapes, loc, w = _msda_inputs(rng)
+
+    def l_ref(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn(v, shapes, l, ww)))
+
+    def l_ker(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn_pallas(v, shapes, l, ww, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1, 2))(val, loc, w)
+    gk = jax.grad(l_ker, argnums=(0, 1, 2))(val, loc, w)
+    for a, b, name in zip(gr, gk, ["dvalue", "dloc", "dweights"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
 
 
 def test_nonmultiple_p_padding(rng):
