@@ -3,33 +3,49 @@
 The reference's mask postprocessing uses `F.interpolate(..., mode='bilinear',
 align_corners=False)` with NO antialiasing (sam.py:133-162).  `jax.image.resize`
 antialiases when downscaling, which breaks thresholded-mask parity, so this
-module implements the plain half-pixel-center gather+lerp directly.  It is
-jit-friendly (static shapes) and fuses well: two gathers + a lerp per axis.
+module implements the plain half-pixel-center resample directly.
+
+TPU-first formulation: per-axis resampling is a matmul with a banded weight
+matrix (each output row holds the two bilinear hat weights), so the whole
+resize runs on the MXU instead of as gathers+lerps on the VPU — the same
+hat-weight-matmul idea as kernels/bilinear_gather.py, here expressible in
+plain XLA because the coordinates are static.  Matmuls run at
+Precision.HIGHEST: each output is the sum of exactly two weighted inputs
+(plus exact zeros), keeping thresholded-mask parity on the fp32 decode path
+(TPU fp32 matmuls otherwise default to bf16 passes).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _axis_weights(in_size: int, out_size: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """lo/hi gather indices + hi-weight for one axis (half-pixel centers)."""
+@lru_cache(maxsize=None)
+def _axis_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) fp32 bilinear resample matrix, half-pixel centers,
+    edge-clipped (torch align_corners=False, antialias=False)."""
     scale = in_size / out_size
-    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
-    src = jnp.clip(src, 0.0, in_size - 1)
-    lo = jnp.floor(src).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, in_size - 1)
-    w = src - lo.astype(jnp.float32)
-    return lo, hi, w
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), lo), 1.0 - w)
+    np.add.at(m, (np.arange(out_size), hi), w)
+    return m
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize over the last two axes of (..., H, W).
 
     Matches torch `F.interpolate(mode='bilinear', align_corners=False,
-    antialias=False)` exactly (same half-pixel sampling, no filtering).
+    antialias=False)` (same half-pixel sampling, no filtering); fp32 math.
     """
     H, W = x.shape[-2], x.shape[-1]
     out_h, out_w = out_hw
@@ -37,21 +53,29 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
         return x
     dtype = x.dtype
     x = x.astype(jnp.float32)
-    lo_h, hi_h, wh = _axis_weights(H, out_h)
-    lo_w, hi_w, ww = _axis_weights(W, out_w)
-    # rows
-    top = jnp.take(x, lo_h, axis=-2)
-    bot = jnp.take(x, hi_h, axis=-2)
-    x = top + (bot - top) * wh[:, None]
-    # cols
-    left = jnp.take(x, lo_w, axis=-1)
-    right = jnp.take(x, hi_w, axis=-1)
-    x = left + (right - left) * ww
+    hi = jax.lax.Precision.HIGHEST
+    if H != out_h:
+        mh = jnp.asarray(_axis_matrix(H, out_h))
+        x = jnp.einsum("oh,...hw->...ow", mh, x, precision=hi)
+    if W != out_w:
+        mw = jnp.asarray(_axis_matrix(W, out_w))
+        x = jnp.einsum("...hw,ow->...ho", x, mw, precision=hi)
     return x.astype(dtype)
 
 
 def resize_bilinear_nhwc(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Same, for NHWC tensors (resizes axes 1, 2)."""
-    x = jnp.moveaxis(x, -1, 1)  # N C H W
-    x = resize_bilinear(x, out_hw)
-    return jnp.moveaxis(x, 1, -1)
+    H, W = x.shape[1], x.shape[2]
+    out_h, out_w = out_hw
+    if (H, W) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    if H != out_h:
+        mh = jnp.asarray(_axis_matrix(H, out_h))
+        x = jnp.einsum("oh,bhwc->bowc", mh, x, precision=hi)
+    if W != out_w:
+        mw = jnp.asarray(_axis_matrix(W, out_w))
+        x = jnp.einsum("bhwc,ow->bhoc", x, mw, precision=hi)
+    return x.astype(dtype)
