@@ -132,6 +132,11 @@ class SamConfig(Config):
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     # TPU-specific knobs (no reference analogue)
     compute_dtype: str = "bfloat16"  # encoder matmuls; decode path stays fp32
+    # decoder (two-way transformer + upscaling) matmul dtype.  'float32'
+    # (default) keeps strict mask-threshold parity with the reference's fp32
+    # decode; 'bfloat16' halves the decode's HBM traffic (src is
+    # prompts x 4096 x 256) — mask logits still accumulate in fp32
+    decode_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
     window_attn_impl: str = "fused"  # 'fused' (transpose-free, heads as static
     # lane slices — A/B on v5e B=4 ViT-H encode: 63.9 ms/img vs 88.7 'pallas',

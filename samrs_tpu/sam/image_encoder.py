@@ -100,7 +100,13 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        # 2-D input to the qkv projection: XLA emits the plain row-major dot
+        # layout, so the (B, N, 3C) view below is a bitcast — without this the
+        # conv-style lowering picks a {2,0,1} layout and a 13 ms/step copy
+        # appears in front of the Pallas fused-attention call (B=4 ViT-H trace)
+        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(
+            x.reshape(-1, x.shape[-1])
+        ).reshape(B, H, W, 3 * self.dim)
 
         if self.use_rel_pos:
             assert self.input_size is not None

@@ -52,9 +52,11 @@ class MaskDecoder(nn.Module):
             dtype=self.dtype,
         )
         d = self.transformer_dim
-        self.upscale_conv1 = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), name="upscale_conv1")
+        self.upscale_conv1 = nn.ConvTranspose(
+            d // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="upscale_conv1")
         self.upscale_ln = LayerNorm2d(name="upscale_ln")
-        self.upscale_conv2 = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), name="upscale_conv2")
+        self.upscale_conv2 = nn.ConvTranspose(
+            d // 8, (2, 2), strides=(2, 2), dtype=self.dtype, name="upscale_conv2")
         self.output_hypernetworks_mlps = [
             MLP(d, d // 8, 3, name=f"hyper_mlp_{i}") for i in range(self.num_mask_tokens)
         ]

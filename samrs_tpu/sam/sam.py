@@ -96,6 +96,7 @@ class Sam(nn.Module):
             num_multimask_outputs=c.num_multimask_outputs,
             iou_head_depth=c.iou_head_depth,
             iou_head_hidden_dim=c.iou_head_hidden_dim,
+            dtype=jnp.bfloat16 if c.decode_dtype == "bfloat16" else jnp.float32,
         )
 
     # --- jittable sub-applies (each usable via model.apply(..., method=...)) ---
