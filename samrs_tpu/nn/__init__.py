@@ -1,4 +1,5 @@
 from samrs_tpu.nn.layers import (  # noqa: F401
+    ConvTranspose2x,
     LayerNorm2d,
     MLPBlock,
     MLP,

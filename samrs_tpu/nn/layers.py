@@ -22,6 +22,52 @@ from flax import linen as nn
 Dtype = Any
 
 
+class ConvTranspose2x(nn.Module):
+    """2x2-stride-2 transposed conv as FOUR matmuls + a pixel interleave.
+
+    Mathematically identical to nn.ConvTranspose(features, (2,2), strides
+    (2,2)) — with stride 2 and kernel 2 every output pixel receives exactly
+    one input tap, so out[2i+di, 2j+dj] = x[i,j] @ W[di,dj] + b.  XLA lowers
+    the transposed conv itself catastrophically on TPU (the two upscaling
+    deconvs cost 34 ms/step of the SAM decode at bucket 64 vs ~2 ms as
+    matmuls); this keeps the exact ConvTranspose param shapes (kernel
+    (2,2,Cin,Cout), bias (Cout,)) so checkpoint porters are unaffected.
+
+    Pixel-order note: any op that is per-pixel (LayerNorm2d over channels,
+    gelu) or contracts only channels commutes with the pixel interleave, so
+    callers may defer it (``interleave=False``) and carry the 2x2 tap axes
+    as extra trailing batch dims — SAM's predict_masks does this and
+    materialises the pixel order once, on the small final mask tensor,
+    instead of twice on the wide channel tensors.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, interleave: bool = True) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, C, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xc = x.astype(self.dtype)
+        # nn.ConvTranspose applies the kernel spatially FLIPPED relative to the
+        # direct tap formulation (lax.conv_transpose = zero-dilate + correlate
+        # with the mirrored kernel); flip so params stay porter-compatible.
+        kc = kernel[::-1, ::-1].astype(self.dtype)
+        # (..., H, W, C) @ (2,2,C,D) -> (..., H, W, 2, 2, D)
+        y = jnp.einsum("...c,ijcd->...ijd", xc, kc, preferred_element_type=jnp.float32)
+        y = (y + bias).astype(self.dtype)
+        if interleave:
+            *lead, H, W, _, _, D = y.shape
+            n = y.ndim
+            y = y.transpose(*range(n - 5), n - 5, n - 3, n - 4, n - 2, n - 1)
+            y = y.reshape(*lead, 2 * H, 2 * W, D)
+        return y
+
+
 class LayerNorm2d(nn.Module):
     """Per-position LayerNorm over the channel axis of an NHWC tensor.
 

@@ -20,44 +20,10 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from samrs_tpu.nn.layers import MLP, LayerNorm2d
+from samrs_tpu.nn.layers import MLP, ConvTranspose2x, LayerNorm2d
 from samrs_tpu.sam.transformer import TwoWayTransformer
 
 Dtype = Any
-
-
-class ConvTranspose2x(nn.Module):
-    """2x2-stride-2 transposed conv as FOUR matmuls + a pixel interleave.
-
-    Mathematically identical to nn.ConvTranspose(features, (2,2), strides
-    (2,2)) — with stride 2 and kernel 2 every output pixel receives exactly
-    one input tap, so out[2i+di, 2j+dj] = x[i,j] @ W[di,dj] + b.  XLA lowers
-    the transposed conv itself catastrophically on TPU (the two upscaling
-    deconvs cost 34 ms/step of the SAM decode at bucket 64 vs ~2 ms as
-    matmuls); this keeps the exact ConvTranspose param shapes (kernel
-    (2,2,Cin,Cout), bias (Cout,)) so checkpoint porters are unaffected.
-    """
-
-    features: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, H, W, C = x.shape
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (2, 2, C, self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        xc = x.astype(self.dtype)
-        # nn.ConvTranspose applies the kernel spatially FLIPPED relative to the
-        # direct tap formulation (lax.conv_transpose = zero-dilate + correlate
-        # with the mirrored kernel); flip so params stay porter-compatible.
-        kc = kernel[::-1, ::-1].astype(self.dtype)
-        # (B,H,W,C) @ (2,2,C,D) -> (B,H,W,2,2,D); interleave the 2x2 taps
-        y = jnp.einsum("bhwc,ijcd->bhwijd", xc, kc, preferred_element_type=jnp.float32)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, self.features)
-        return (y + bias).astype(self.dtype)
 
 
 class MaskDecoder(nn.Module):
@@ -135,11 +101,15 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens, :]
 
         src = src.reshape(B, h, w, c)
-        up = self.upscale_conv1(src)
+        # deferred-interleave upscale: carry the 2x2 tap axes (i,j then k,l)
+        # instead of materialising pixel order after each deconv — LayerNorm2d
+        # and gelu are per-pixel, so only the final mask tensor needs the
+        # (4h+2i+k, 4w+2j+l) ordering (one small transpose vs two wide ones)
+        up = self.upscale_conv1(src, interleave=False)  # (B, h, w, 2, 2, c/4)
         up = self.upscale_ln(up)
         up = nn.gelu(up, approximate=False)
-        up = self.upscale_conv2(up)
-        up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, c/8)
+        up = self.upscale_conv2(up, interleave=False)  # (B, h, w, 2,2, 2,2, c/8)
+        up = nn.gelu(up, approximate=False)
 
         hyper_in = jnp.stack(
             [
@@ -149,7 +119,10 @@ class MaskDecoder(nn.Module):
             axis=1,
         )  # (B, M, c/8)
         masks = jnp.einsum(
-            "bmc,bhwc->bmhw", hyper_in, up, preferred_element_type=jnp.float32
+            "bmc,bhwijklc->bmhwijkl", hyper_in, up, preferred_element_type=jnp.float32
         )
+        M = masks.shape[1]
+        # output pixel (4h+2i+k, 4w+2j+l) -> order (b, m, h, i, k, w, j, l)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(B, M, 4 * h, 4 * w)
         iou_pred = self.iou_prediction_head(iou_token_out)
         return masks, iou_pred

@@ -35,7 +35,7 @@ from flax import linen as nn
 
 from samrs_tpu.kernels.bilinear_gather import ms_deform_attn_pallas
 from samrs_tpu.kernels.sampling import ms_deform_attn
-from samrs_tpu.nn.layers import DropPath, MLPBlock
+from samrs_tpu.nn.layers import ConvTranspose2x, DropPath, MLPBlock
 from samrs_tpu.seg.backbones.vit import PlainAttention
 
 Dtype = Any
@@ -306,8 +306,7 @@ class ViTAdapter(nn.Module):
         f2 = c[:, :n2].reshape(B, h2, w2, D)
         f3 = c[:, n2 : n2 + n3].reshape(B, h3, w3, D)
         f4 = c[:, n2 + n3 :].reshape(B, h4, w4, D)
-        f1 = c1 + nn.ConvTranspose(D, (2, 2), strides=(2, 2), dtype=self.dtype,
-                                   name="up")(f2)
+        f1 = c1 + ConvTranspose2x(D, dtype=self.dtype, name="up")(f2)
         if self.add_vit_feature:
             # each interaction's ViT map feeds the matching scale (:747-752);
             # with a non-standard interaction count (tiny test configs) the

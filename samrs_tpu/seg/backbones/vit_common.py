@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from samrs_tpu.nn.layers import DropPath, LayerNorm2d, MLPBlock
+from samrs_tpu.nn.layers import ConvTranspose2x, DropPath, LayerNorm2d, MLPBlock
 from samrs_tpu.sam.image_encoder import add_decomposed_rel_pos, get_rel_pos
 
 Dtype = Any
@@ -103,10 +103,12 @@ class ViTFPNNeck(nn.Module):
 
     def setup(self) -> None:
         d = self.embed_dim
-        self.fpn1_deconv1 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), name="fpn1_deconv1")
+        # ConvTranspose2x = nn.ConvTranspose((2,2),(2,2)) re-expressed as tap
+        # matmuls (XLA lowers stride-2 deconvs poorly on TPU); same params
+        self.fpn1_deconv1 = ConvTranspose2x(d, name="fpn1_deconv1")
         self.fpn1_norm = LayerNorm2d(name="fpn1_norm")
-        self.fpn1_deconv2 = nn.ConvTranspose(d, (2, 2), strides=(2, 2), name="fpn1_deconv2")
-        self.fpn2_deconv = nn.ConvTranspose(d, (2, 2), strides=(2, 2), name="fpn2_deconv")
+        self.fpn1_deconv2 = ConvTranspose2x(d, name="fpn1_deconv2")
+        self.fpn2_deconv = ConvTranspose2x(d, name="fpn2_deconv")
 
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         f1, f2, f3, f4 = feats
