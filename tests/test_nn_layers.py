@@ -65,3 +65,32 @@ def test_mlpblock_shapes():
     mlp = MLPBlock(mlp_dim=32)
     y, params = mlp.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == (2, 7, 16)
+
+
+def test_conv_transpose2x_matches_flax():
+    """ConvTranspose2x == nn.ConvTranspose((2,2),(2,2)) exactly (same params,
+    flipped-tap application), and the deferred-interleave path commutes."""
+    from flax import linen as nn
+    from samrs_tpu.nn.layers import ConvTranspose2x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 6)).astype(np.float32))
+    ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    v = ref.init(jax.random.PRNGKey(0), x)
+    ours = ConvTranspose2x(4)
+    y_ref = ref.apply(v, x)
+    y = ours.apply(v, x)
+    assert y.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+    # deferred taps: (B,H,W,2,2,D); interleaving by hand reproduces y
+    t = ours.apply(v, x, interleave=False)
+    assert t.shape == (2, 5, 7, 2, 2, 4)
+    man = np.asarray(t).transpose(0, 1, 3, 2, 4, 5).reshape(2, 10, 14, 4)
+    np.testing.assert_allclose(man, np.asarray(y), atol=1e-6)
+
+    # tap axes pass through as extra batch dims (conv2-style use)
+    conv2 = ConvTranspose2x(3)
+    v2 = conv2.init(jax.random.PRNGKey(1), t, interleave=False)
+    t2 = conv2.apply(v2, t, interleave=False)
+    assert t2.shape == (2, 5, 7, 2, 2, 2, 2, 3)
