@@ -133,9 +133,12 @@ class SamConfig(Config):
     # TPU-specific knobs (no reference analogue)
     compute_dtype: str = "bfloat16"  # encoder matmuls; decode path stays fp32
     # decoder (two-way transformer + upscaling) matmul dtype.  'float32'
-    # (default) keeps strict mask-threshold parity with the reference's fp32
-    # decode; 'bfloat16' halves the decode's HBM traffic (src is
-    # prompts x 4096 x 256) — mask logits still accumulate in fp32
+    # (default) matches the reference's fp32 decode; note the TPU backend's
+    # DEFAULT matmul precision multiplies f32 operands in bf16 passes, so
+    # measured per-mask IoU vs a true-fp32 CPU decode is >=0.994 (random
+    # weights, threshold 0) rather than bit-exact.  'bfloat16' halves the
+    # decode's HBM traffic (src is prompts x 4096 x 256) — mask logits still
+    # accumulate in fp32; measured per-mask IoU vs fp32 >= 0.990
     decode_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
     window_attn_impl: str = "fused"  # 'fused' (transpose-free, heads as static
