@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,6 +149,23 @@ def _block_size(P: int) -> int:
     return 128 if P >= 128 else _round_up(P, 8)
 
 
+def _vmem_limit(P_blk: int, H: int, WGc: int) -> Optional[int]:
+    """Scoped-VMEM limit override for large maps, else None (16 MB default).
+
+    The unrolled kernels keep ~8 live (P_blk, W*Gc) fp32 temporaries plus
+    ~2 (H, W*Gc) planes (dxg accumulator, xg copy); at large maps (e.g. the
+    Mask2Former pixel decoder's 128x128 level at 1024^2 tiles, W*Gc = 4096)
+    a 128-query block needs ~21 MB of stack and Mosaic's default 16 MB limit
+    refuses to compile.  v5e has 128 MB of VMEM; raise the limit with
+    headroom instead of shrinking blocks (the (1, K, P_blk) transposed-coord
+    blocks must keep a %128 lane dim).
+    """
+    est = (8 * P_blk + 2 * H) * WGc * 4
+    if est <= 15_000_000:
+        return None
+    return int(min(100_000_000, 2 * est))
+
+
 def _pad_p(a: jnp.ndarray, Pp: int):
     P = a.shape[1]
     if P == Pp:
@@ -191,6 +209,8 @@ def _make_sampler(Gc: int, interpret: bool):
             ],
             out_specs=pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),
             out_shape=jax.ShapeDtypeStruct((BG, Pp, Gc), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit(P_blk, H, WGc)),
             interpret=interpret,
         )(fxp, fyp, mp, xg, e2)
         return out[:, :P]
@@ -233,6 +253,8 @@ def _make_sampler(Gc: int, interpret: bool):
                 jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
                 jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit(P_blk, H, WGc)),
             interpret=interpret,
         )(fxp, fyp, fyT, mp, xg, xgT, e2T, dout_p)
         return (dxg.astype(xg.dtype), dfx[:, :P], dfy[:, :P], dm[:, :P])
@@ -242,10 +264,20 @@ def _make_sampler(Gc: int, interpret: bool):
         return fwd_call(xg, fx, fy, mask)
 
     def sampler_fwd(xg, fx, fy, mask):
-        return fwd_call(xg, fx, fy, mask), (xg, fx, fy, mask)
+        # Residual coords are saved TRANSPOSED (BG, K, P): a (BG, P, K)
+        # fp32 tensor tiles its K=4 minor dim up to 128 lanes (32x padding
+        # waste — 84 MB per saved 21504-query tensor at m2f 1024^2, an HBM
+        # OOM); (BG, K, P) only pads K to 8 sublanes.  The barrier keeps XLA
+        # from CSE-ing the transpose pair and saving the padded original.
+        res = jax.lax.optimization_barrier(
+            (xg, fx.transpose(0, 2, 1), fy.transpose(0, 2, 1),
+             mask.transpose(0, 2, 1)))
+        return fwd_call(xg, fx, fy, mask), res
 
     def sampler_bwd(res, dout):
-        return bwd_call(*res, dout)
+        xg, fxT, fyT, maskT = res
+        return bwd_call(xg, fxT.transpose(0, 2, 1), fyT.transpose(0, 2, 1),
+                        maskT.transpose(0, 2, 1), dout)
 
     sampler.defvjp(sampler_fwd, sampler_bwd)
     return sampler

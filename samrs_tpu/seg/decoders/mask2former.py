@@ -98,8 +98,13 @@ class PixelDecoder(nn.Module):
         ref3 = jnp.broadcast_to(ref[:, :, None, :], (B, tokens.shape[1], 3, 2))
         x = value_tokens
         pos = tokens - value_tokens  # PE + level embed, re-added per layer
+        # remat the MSDA layers: their saved activations (softmaxed attention
+        # weights (B,Q,nH,L,P) and per-level sampling coords) have 2-4-wide
+        # minor dims that TPU tiling pads to 128 lanes (32x HBM waste —
+        # ~2.4 GB at 1024^2 tiles); recomputing them in the backward is cheap
+        RematMSDA = nn.remat(MSDeformAttnModule, static_argnums=(4,))
         for layer in range(self.num_layers):
-            attn = MSDeformAttnModule(
+            attn = RematMSDA(
                 D, 3, self.num_heads, self.n_points, 1.0, dtype=self.dtype,
                 name=f"encoder{layer}_attn",
             )(x + pos, ref3, x, shapes)
@@ -269,7 +274,8 @@ class Mask2FormerHead(nn.Module):
 
 
 def _hungarian_host(cost: np.ndarray) -> np.ndarray:
-    """Host-side scipy assignment; cost (Q, G) -> row assignment col index."""
+    """Host-side scipy assignment; cost (Q, G) -> row assignment col index.
+    Kept as the test oracle for the on-device solver."""
     from scipy.optimize import linear_sum_assignment
 
     q, g = cost.shape
@@ -279,16 +285,90 @@ def _hungarian_host(cost: np.ndarray) -> np.ndarray:
     return out
 
 
+def _lap_device(costT: jnp.ndarray) -> jnp.ndarray:
+    """Exact min-cost assignment for one (n, m) cost, n <= m, ON DEVICE.
+
+    Jonker-Volgenant style shortest augmenting paths with potentials (the
+    classic O(n.m^2) Hungarian; e-maxx formulation) in pure lax loops —
+    every shape static, no host callback.  n = G gt slots (<= 37), m = Q
+    queries (100): the sequential scan is ~n.m^2 = 4e5 scalar-vector steps,
+    negligible next to the decoder.  Returns p (m,) int32: the row assigned
+    to each column, -1 where free — scipy.linear_sum_assignment semantics
+    (identical up to ties between equal-cost optima).
+    """
+    n, m = costT.shape
+    INF = jnp.float32(3e37)
+    SENT = m  # virtual start column (index m in the size-(m+1) arrays)
+
+    def assign_row(i, uvp):
+        u, v, p = uvp
+        p = p.at[SENT].set(i)
+        minv = jnp.full((m,), INF, jnp.float32)
+        used = jnp.zeros((m + 1,), bool)
+        way = jnp.full((m,), SENT, jnp.int32)
+
+        def cond(st):
+            _, _, p, _, _, _, j0 = st
+            return p[j0] != -1
+
+        def body(st):
+            u, v, p, minv, used, way, j0 = st
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = costT[i0] - u[i0] - v  # (m,) reduced costs from i0
+            better = (cur < minv) & (~used[:m])
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(used[:m], INF, minv)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # u[p[j]] += delta for used j (rows on the alternating tree);
+            # each row sits on at most one used column, so a scatter-add of
+            # one-hots is exact
+            rows = jnp.where(used, p, n)
+            bump = jnp.zeros((n + 1,), jnp.float32).at[rows].add(1.0)[:n]
+            u = u + delta * bump
+            v = v - jnp.where(used[:m], delta, 0.0)
+            minv = jnp.where(used[:m], minv, minv - delta)
+            return (u, v, p, minv, used, way, j1)
+
+        u, v, p, minv, used, way, j0 = jax.lax.while_loop(
+            cond, body, (u, v, p, minv, used, way, jnp.int32(SENT))
+        )
+
+        def acond(st):
+            j0, _ = st
+            return j0 != SENT
+
+        def abody(st):
+            j0, p = st
+            j1 = way[j0]
+            return j1, p.at[j0].set(p[j1])
+
+        _, p = jax.lax.while_loop(acond, abody, (j0, p))
+        return (u, v, p)
+
+    u = jnp.zeros((n,), jnp.float32)
+    v = jnp.zeros((m,), jnp.float32)
+    p = jnp.full((m + 1,), -1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, n, assign_row, (u, v, p))
+    return p[:m]
+
+
 def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
-    """(B, Q, G) cost -> (B, Q) matched GT slot (or -1). pure_callback to scipy."""
+    """(B, Q, G) cost -> (B, Q) matched GT slot (or -1), entirely on device.
+
+    Replaces the round-1 jax.pure_callback-to-scipy path: host callbacks are
+    the one sequential step the reference ping-pongs to CPU per image
+    (SURVEY.md §3.5), they do not exist under some TPU transports, and their
+    behavior under multi-host GSPMD is undefined — the lax solver shards
+    like any other batched op.
+    """
     B, Q, G = cost.shape
-
-    def host_fn(c):
-        return np.stack([_hungarian_host(ci) for ci in np.asarray(c)])
-
-    return jax.pure_callback(
-        host_fn, jax.ShapeDtypeStruct((B, Q), jnp.int32), cost, vmap_method="sequential"
-    )
+    if G > Q:
+        raise ValueError(f"hungarian_match expects G <= Q, got Q={Q} G={G}")
+    costT = jnp.swapaxes(cost.astype(jnp.float32), 1, 2)  # (B, G, Q)
+    return jax.vmap(_lap_device)(costT)
 
 
 def semantic_to_instances(labels: jnp.ndarray, num_classes: int, ignore: int = 255):

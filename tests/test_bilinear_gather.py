@@ -151,3 +151,39 @@ def test_nonmultiple_p_padding(rng):
     ref = dcnv3(x, off, m, *args)
     out = dcnv3_pallas(x, off, m, *args, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_vmem_limit_raised_only_for_large_maps():
+    from samrs_tpu.kernels.bilinear_gather import _vmem_limit
+
+    # small maps keep Mosaic's 16 MB default (None = no override)
+    assert _vmem_limit(128, 28, 28 * 64) is None
+    # Mask2Former pixel-decoder level at 1024^2 (H=W=128, D=32): a 128-query
+    # block needs ~21 MB of stack -> limit must be raised with headroom
+    lim = _vmem_limit(128, 128, 128 * 32)
+    assert lim is not None and 21_000_000 < lim <= 100_000_000
+
+
+def test_ms_deform_attn_large_map_small_blocks(rng):
+    """Shapes that trigger the VMEM-driven block shrink still match the
+    oracle (the m2f pixel decoder's 1024^2 failure mode, scaled down in B/Q)."""
+    B, nH, D, Pt = 1, 2, 32, 4
+    shapes = [(128, 128)]
+    S = sum(h * w for h, w in shapes)
+    Q = 136  # > one shrunken block, not a multiple of it
+    val = jnp.asarray(rng.normal(size=(B, S, nH, D)), jnp.float32)
+    loc = jnp.asarray(rng.random((B, Q, nH, 1, Pt, 2)), jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, Q, nH, 1, Pt)), jnp.float32))
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_pallas(val, shapes, loc, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def l_ref(v):
+        return jnp.sum(jnp.sin(ms_deform_attn(v, shapes, loc, w)))
+
+    def l_ker(v):
+        return jnp.sum(jnp.sin(ms_deform_attn_pallas(v, shapes, loc, w, interpret=True)))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(l_ker)(val)), np.asarray(jax.grad(l_ref)(val)),
+        atol=2e-4, rtol=2e-4)

@@ -36,6 +36,35 @@ def test_hungarian_matches_scipy():
         np.testing.assert_array_equal(assign[b], expect)
 
 
+def test_hungarian_device_exactness_sweep():
+    """The on-device JV solver attains scipy's optimal TOTAL COST on random,
+    square, large-spread (1e6 invalid-slot sentinel) and tied matrices —
+    assignments may differ only between equal-cost optima."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(1)
+    cases = []
+    for _ in range(10):
+        q = int(rng.integers(2, 40))
+        g = int(rng.integers(1, q + 1))
+        cases.append(rng.random((q, g)).astype(np.float32) * 10)
+    c = rng.random((20, 7)).astype(np.float32)
+    c[:, 3:] = 1e6  # mask2former's invalid-gt sentinel
+    cases.append(c)
+    cases.append(np.ones((6, 4), np.float32))  # fully tied
+    cases.append(np.asarray([[0.0, 1.0], [0.0, 1.0], [1.0, 0.0]], np.float32))
+    for cost in cases:
+        q, g = cost.shape
+        assign = np.asarray(hungarian_match(jnp.asarray(cost)[None]))[0]
+        rows = np.nonzero(assign >= 0)[0]
+        assert len(rows) == g, (q, g, assign)
+        cols = assign[rows]
+        assert len(np.unique(cols)) == g  # a valid assignment
+        ours = cost[rows, cols].sum()
+        r2, c2 = linear_sum_assignment(cost)
+        np.testing.assert_allclose(ours, cost[r2, c2].sum(), rtol=1e-6)
+
+
 def test_semantic_to_instances():
     labels = jnp.asarray([[[0, 0], [2, 255]]], jnp.int32)
     masks, valid = semantic_to_instances(labels, 4)
