@@ -67,8 +67,17 @@ def _hat(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dhat(t: jnp.ndarray) -> jnp.ndarray:
-    """d hat(t) / d t  (a.e.): -sign(t) on |t| < 1."""
-    return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
+    """d hat(t) / d t, half-open convention matching the floor-based oracle.
+
+    autodiff of ``x0 = floor(fx); wx = fx - x0`` yields the one-sided RIGHT
+    derivative, defined at integer coords: the tap at ``t in [0, 1)`` is x0
+    (weight 1-t, slope -1) and the tap at ``t in [-1, 0)`` is x0+1 (weight
+    1+t, slope +1); the tap at exactly ``t = 1`` is outside the floor pair
+    (slope 0).  ``-sign(t) on |t| < 1`` disagrees on the measure-zero
+    integer-coordinate set (all-zero gradient there) — which real point
+    grids at power-of-two sizes do hit."""
+    return jnp.where((t >= 0.0) & (t < 1.0), -1.0,
+                     jnp.where((t >= -1.0) & (t < 0.0), 1.0, 0.0))
 
 
 def _fwd_kernel(fx_ref, fy_ref, mask_ref, xg_ref, e2_ref, out_ref,
@@ -269,8 +278,10 @@ def _make_sampler(Gc: int, interpret: bool):
         # waste — 84 MB per saved 21504-query tensor at m2f 1024^2, an HBM
         # OOM); (BG, K, P) only pads K to 8 sublanes.  The barrier keeps XLA
         # from CSE-ing the transpose pair and saving the padded original.
-        res = jax.lax.optimization_barrier(
-            (xg, fx.transpose(0, 2, 1), fy.transpose(0, 2, 1),
+        # (xg stays OUTSIDE the barrier: it is saved by reference/alias, and
+        # barriering it forces a materialised copy per call site)
+        res = (xg,) + jax.lax.optimization_barrier(
+            (fx.transpose(0, 2, 1), fy.transpose(0, 2, 1),
              mask.transpose(0, 2, 1)))
         return fwd_call(xg, fx, fy, mask), res
 
@@ -392,6 +403,175 @@ def grid_sample_pallas(
     out = sample_weighted(xg, fx.astype(jnp.float32), fy.astype(jnp.float32),
                           ones, C, interpret)
     return out.reshape(B, Ho, Wo, C)
+
+
+# ---------------------------------------------------------------------------
+# point_sample: many single-channel masks, per-mask point sets
+# (mmcv.ops.point_sample for the Mask2Former point losses).
+#
+# The main core keeps channels in lanes and points in sublanes — with C=1
+# (mask logits) every (BG, P, 1) input/output pads its size-1 minor dim to
+# 128 lanes: 128x HBM waste (3.6 GB temps at m2f 512^2 3-head, an OOM).
+# This variant puts the POINTS in lanes and the single channel nowhere:
+# fx/fy/out are (N, K) 2-D, and the gather is
+#     t = imgT @ hat(fy - iota_H)        (W, H) @ (H, Kb)   [MXU]
+#     out = sum_w hat(fx - iota_W) * t   (1, Kb)
+# with the backward as NT dot_generals (dimg = wy @ dt^T contraction).
+# ---------------------------------------------------------------------------
+
+
+def _ps_fwd_kernel(fx_ref, fy_ref, xgT_ref, out_ref, *, mm_dtype):
+    W, H = xgT_ref.shape[1], xgT_ref.shape[2]
+    Kb = fx_ref.shape[2]
+    fx = fx_ref[0]  # (1, Kb) fp32 absolute pixel coords
+    fy = fy_ref[0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Kb), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Kb), 0).astype(jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32 else None
+    wy = _hat(fy - iota_h)  # (H, Kb)
+    t = jax.lax.dot(xgT_ref[0].astype(mm_dtype), wy.astype(mm_dtype),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (W, Kb)
+    wx = _hat(fx - iota_w)  # (W, Kb)
+    out_ref[0] = jnp.sum(wx * t, axis=0, keepdims=True).astype(out_ref.dtype)
+
+
+def _ps_bwd_kernel(fx_ref, fy_ref, xg_ref, xgT_ref, dout_ref,
+                   dxg_ref, dfx_ref, dfy_ref, *, mm_dtype):
+    H, W = xg_ref.shape[1], xg_ref.shape[2]
+    Kb = fx_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dxg_ref[0] = jnp.zeros_like(dxg_ref[0])
+
+    fx = fx_ref[0]  # (1, Kb)
+    fy = fy_ref[0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Kb), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Kb), 0).astype(jnp.float32)
+    ty = fy - iota_h
+    wy = _hat(ty)  # (H, Kb)
+    tx = fx - iota_w
+    wx = _hat(tx)  # (W, Kb)
+    dout = dout_ref[0]  # (1, Kb)
+    prec = jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32 else None
+    t = jax.lax.dot(xgT_ref[0].astype(mm_dtype), wy.astype(mm_dtype),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (W, Kb)
+    dt = wx * dout  # (W, Kb) — dL/dt, dout broadcast over rows
+    # dimg[h, w] = sum_k wy[h, k] * dt[w, k]  (NT matmul)
+    dxg = jax.lax.dot_general(
+        wy.astype(mm_dtype), dt.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)  # (H, W)
+    dxg_ref[0] += dxg.astype(dxg_ref.dtype)
+    dfx_ref[0] = jnp.sum(_dhat(tx) * t * dout, axis=0, keepdims=True
+                         ).astype(dfx_ref.dtype)
+    u = jax.lax.dot(xg_ref[0].astype(mm_dtype), wx.astype(mm_dtype),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (H, Kb)
+    dfy_ref[0] = jnp.sum(_dhat(ty) * u * dout, axis=0, keepdims=True
+                         ).astype(dfy_ref.dtype)
+
+
+def _pad_k2(a: jnp.ndarray, Kp: int, value: float):
+    K = a.shape[1]
+    if K == Kp:
+        return a
+    return jnp.pad(a, ((0, 0), (0, Kp - K)), constant_values=value)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_point_sampler(interpret: bool):
+    def fwd_call(img, fx, fy):
+        N, H, W = img.shape
+        K = fx.shape[1]
+        Kb = min(512, _round_up(K, 128))
+        Kp = _round_up(K, Kb)
+        mm_dtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+        # pad points far outside the map: hat weights (and dhat) vanish there
+        fxp = _pad_k2(fx, Kp, -10.0)
+        fyp = _pad_k2(fy, Kp, -10.0)
+        imgT = img.transpose(0, 2, 1)
+        # coords ride 3-D (N, 1, Kp) refs: Mosaic wants block dim -2 either
+        # %8 or equal to the array dim, and a (1, Kb) block over (N, Kp) is
+        # neither — (1, 1, Kb) over (N, 1, Kp) is.
+        out = pl.pallas_call(
+            functools.partial(_ps_fwd_kernel, mm_dtype=mm_dtype),
+            grid=(N, Kp // Kb),
+            in_specs=[
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),  # fx
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),  # fy
+                pl.BlockSpec((1, W, H), lambda n, k: (n, 0, 0)),   # imgT
+            ],
+            out_specs=pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),
+            out_shape=jax.ShapeDtypeStruct((N, 1, Kp), jnp.float32),
+            interpret=interpret,
+        )(fxp[:, None], fyp[:, None], imgT)
+        return out[:, 0, :K]
+
+    def bwd_call(img, fx, fy, dout):
+        N, H, W = img.shape
+        K = fx.shape[1]
+        Kb = min(512, _round_up(K, 128))
+        Kp = _round_up(K, Kb)
+        mm_dtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+        fxp = _pad_k2(fx, Kp, -10.0)
+        fyp = _pad_k2(fy, Kp, -10.0)
+        dout_p = _pad_k2(dout.astype(jnp.float32), Kp, 0.0)
+        imgT = img.transpose(0, 2, 1)
+        dimg, dfx, dfy = pl.pallas_call(
+            functools.partial(_ps_bwd_kernel, mm_dtype=mm_dtype),
+            grid=(N, Kp // Kb),
+            in_specs=[
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),  # fx
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),  # fy
+                pl.BlockSpec((1, H, W), lambda n, k: (n, 0, 0)),   # img
+                pl.BlockSpec((1, W, H), lambda n, k: (n, 0, 0)),   # imgT
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),  # dout
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H, W), lambda n, k: (n, 0, 0)),
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),
+                pl.BlockSpec((1, 1, Kb), lambda n, k: (n, 0, k)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((N, 1, Kp), jnp.float32),
+                jax.ShapeDtypeStruct((N, 1, Kp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(fxp[:, None], fyp[:, None], img, imgT, dout_p[:, None])
+        return dimg.astype(img.dtype), dfx[:, 0, :K], dfy[:, 0, :K]
+
+    @jax.custom_vjp
+    def sampler(img, fx, fy):
+        return fwd_call(img, fx, fy)
+
+    def sampler_fwd(img, fx, fy):
+        return fwd_call(img, fx, fy), (img, fx, fy)
+
+    def sampler_bwd(res, dout):
+        return bwd_call(*res, dout)
+
+    sampler.defvjp(sampler_fwd, sampler_bwd)
+    return sampler
+
+
+def point_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Per-mask bilinear point sampling, points-in-lanes layout.
+
+    img (N, H, W) any float dtype; grid (N, K, 2) normalized [-1, 1]
+    (align_corners=False, zero padding).  Returns (N, K) fp32.
+    Oracle: kernels/sampling.py::grid_sample with C=1.
+    """
+    N, H, W = img.shape
+    fx = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
+    fy = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
+    return _make_point_sampler(bool(interpret))(
+        img, fx.astype(jnp.float32), fy.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -365,10 +365,17 @@ def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
     like any other batched op.
     """
     B, Q, G = cost.shape
-    if G > Q:
-        raise ValueError(f"hungarian_match expects G <= Q, got Q={Q} G={G}")
-    costT = jnp.swapaxes(cost.astype(jnp.float32), 1, 2)  # (B, G, Q)
-    return jax.vmap(_lap_device)(costT)
+    cost = cost.astype(jnp.float32)
+    if G <= Q:
+        return jax.vmap(_lap_device)(jnp.swapaxes(cost, 1, 2))  # rows=G
+    # fewer queries than gt slots (tiny test configs): solve with queries as
+    # the row set, then invert the column->row map back to per-query slots
+    p = jax.vmap(_lap_device)(cost)  # (B, G): query for each gt col, -1 free
+    idx = jnp.where(p >= 0, p, Q)  # free columns park in a scratch slot
+    out = jnp.full((B, Q + 1), -1, jnp.int32)
+    cols = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), (B, G))
+    out = jax.vmap(lambda o, i, c: o.at[i].set(c))(out, idx, cols)
+    return out[:, :Q]
 
 
 def semantic_to_instances(labels: jnp.ndarray, num_classes: int, ignore: int = 255):
@@ -396,12 +403,42 @@ def dice_loss(pred_sigmoid: jnp.ndarray, target: jnp.ndarray, eps: float = 1.0):
 
 def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample (N, H, W) masks at (N, K, 2) xy coords in [0, 1]
-    (mmcv.ops.point_sample, align_corners=False)."""
+    (mmcv.ops.point_sample, align_corners=False).
+
+    On TPU this rides the points-in-lanes Pallas kernel: XLA lowers the
+    flat-index gather (and its scatter-add backward) to scalar loops —
+    profiled at ~10 s of a 14.8 s Mask2Former 1024^2 train step — and the
+    channel-in-lanes hat-matmul core pads C=1 to 128 lanes (3.6 GB HBM
+    temps at 512^2 3-head, an OOM)."""
+    grid = 2.0 * coords - 1.0  # (N, K, 2)
+    if jax.default_backend() == "tpu":
+        from samrs_tpu.kernels.bilinear_gather import point_sample_pallas
+
+        return point_sample_pallas(masks.astype(jnp.float32), grid)
     from samrs_tpu.kernels.sampling import grid_sample
 
-    grid = 2.0 * coords - 1.0  # (N, K, 2)
     out = grid_sample(masks[..., None], grid[:, None])  # (N, 1, K, 1)
     return out[:, 0, :, 0]
+
+
+def point_sample_shared(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample (B, M, H, W) masks at (B, K, 2) xy coords in [0, 1]
+    SHARED across the M masks of each image -> (B, M, K).
+
+    The matching-cost points are per-image (mmdet loss_by_feat), so the M
+    masks ride the channel dim of one grid_sample: MXU matmuls over C=M
+    instead of B*M single-channel gathers."""
+    grid = (2.0 * coords - 1.0)[:, None]  # (B, 1, K, 2)
+    img = masks.transpose(0, 2, 3, 1)  # (B, H, W, M)
+    if jax.default_backend() == "tpu":
+        from samrs_tpu.kernels.bilinear_gather import grid_sample_pallas
+
+        out = grid_sample_pallas(img.astype(jnp.float32), grid)  # (B, 1, K, M)
+    else:
+        from samrs_tpu.kernels.sampling import grid_sample
+
+        out = grid_sample(img, grid)
+    return out[:, 0].transpose(0, 2, 1)
 
 
 def uncertain_point_coords(
@@ -468,21 +505,9 @@ def mask2former_loss(
             lrng = jax.random.fold_in(rng, li)
             r_match, r_loss = jax.random.split(lrng)
             # matching cost over K random points shared per image (:913-1011)
-            pts = jnp.broadcast_to(
-                jax.random.uniform(r_match, (B, 1, num_points, 2)),
-                (B, 1, num_points, 2),
-            )
-            p_pred = point_sample(
-                mask_logits.reshape(B * Nq, H4, W4),
-                jnp.broadcast_to(pts, (B, Nq, num_points, 2)).reshape(
-                    B * Nq, num_points, 2),
-            ).reshape(B, Nq, num_points)
-            C = num_classes
-            p_gt = point_sample(
-                gt_masks.reshape(B * C, H4, W4),
-                jnp.broadcast_to(pts, (B, C, num_points, 2)).reshape(
-                    B * C, num_points, 2),
-            ).reshape(B, C, num_points)
+            pts = jax.random.uniform(r_match, (B, num_points, 2))
+            p_pred = point_sample_shared(mask_logits, pts)  # (B, Q, K)
+            p_gt = point_sample_shared(gt_masks, pts)  # (B, C, K)
             pos = jax.nn.softplus(-p_pred)
             neg = jax.nn.softplus(p_pred)
             cost_bce = (

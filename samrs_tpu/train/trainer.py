@@ -55,10 +55,15 @@ def cross_entropy_ignore(
 def make_pretrain_step(model, tx) -> Callable:
     """Multi-dataset step: batches is a tuple of (x, y) (one per head)."""
 
-    @jax.jit
+    # donate the input state: params + two AdamW moments are the largest
+    # buffers in a training step; without donation a second full copy is
+    # live across the update (the 1024^2 Mask2Former step OOMs on it)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batches, dropout_rng):
         def loss_fn(params):
-            xs = [b[0] for b in batches]
+            # a None batch skips that head this step (alternating-head
+            # schedules at high resolution)
+            xs = [None if b is None else b[0] for b in batches]
             variables = {"params": params, "batch_stats": state.batch_stats}
             rng = jax.random.fold_in(dropout_rng, state.step)
             outs, updated = model.apply(
@@ -91,10 +96,15 @@ def make_pretrain_step_mask2former(
     mask losses (12544 in the reference) for high-resolution tiles."""
     from samrs_tpu.seg.decoders.mask2former import mask2former_loss
 
-    @jax.jit
+    # donate the input state: params + two AdamW moments are the largest
+    # buffers in a training step; without donation a second full copy is
+    # live across the update (the 1024^2 Mask2Former step OOMs on it)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batches, dropout_rng):
         def loss_fn(params):
-            xs = [b[0] for b in batches]
+            # a None batch skips that head this step (alternating-head
+            # schedules at high resolution)
+            xs = [None if b is None else b[0] for b in batches]
             variables = {"params": params, "batch_stats": state.batch_stats}
             rng = jax.random.fold_in(dropout_rng, state.step)
             outs, updated = model.apply(
@@ -126,7 +136,10 @@ def make_pretrain_step_mask2former(
 
 
 def make_finetune_step(model, tx) -> Callable:
-    @jax.jit
+    # donate the input state: params + two AdamW moments are the largest
+    # buffers in a training step; without donation a second full copy is
+    # live across the update (the 1024^2 Mask2Former step OOMs on it)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y, dropout_rng):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

@@ -187,3 +187,76 @@ def test_ms_deform_attn_large_map_small_blocks(rng):
     np.testing.assert_allclose(
         np.asarray(jax.grad(l_ker)(val)), np.asarray(jax.grad(l_ref)(val)),
         atol=2e-4, rtol=2e-4)
+
+
+def test_point_sample_matches_oracle(rng):
+    """Points-in-lanes kernel vs grid_sample(C=1): values, out-of-range
+    coords, and gradients (img + coords)."""
+    from samrs_tpu.kernels.bilinear_gather import point_sample_pallas
+
+    N, H, W, K = 3, 12, 9, 37
+    img = jnp.asarray(rng.normal(size=(N, H, W)), jnp.float32)
+    # cover in-range, border-partial, and fully-out-of-range points
+    grid = jnp.asarray(rng.random((N, K, 2)) * 3.0 - 1.5 + 0.017, jnp.float32)
+    ref = grid_sample(img[..., None], grid[:, None])[:, 0, :, 0]
+    out = point_sample_pallas(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def l_ref(im, g):
+        return jnp.sum(jnp.sin(grid_sample(im[..., None], g[:, None])[:, 0, :, 0]))
+
+    def l_ker(im, g):
+        return jnp.sum(jnp.sin(point_sample_pallas(im, g, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1))(img, grid)
+    gk = jax.grad(l_ker, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), atol=1e-5, rtol=1e-5)
+
+
+def test_point_sample_integer_coords_grad(rng):
+    """Exact-integer pixel coords (power-of-two maps hit them): the coord
+    gradient must match the floor-based oracle's one-sided derivative, not
+    the all-zero -sign(0) convention."""
+    from samrs_tpu.kernels.bilinear_gather import point_sample_pallas
+
+    N, H, W = 2, 16, 16
+    img = jnp.asarray(rng.normal(size=(N, H, W)), jnp.float32)
+    # pixel coords: exact integers, half-integers, and a border-exact point
+    px = jnp.asarray([[3.0, 7.5, 0.0, 15.0, 4.0], [2.0, 9.0, 1.5, 0.0, 14.0]])
+    py = jnp.asarray([[5.0, 2.5, 0.0, 15.0, 11.5], [8.0, 3.0, 1.0, 15.0, 0.5]])
+    # invert the pixel->grid map used by point_sample_pallas
+    grid = jnp.stack([(2 * px + 1) / W - 1, (2 * py + 1) / H - 1], -1)
+
+    def l_ref(im, g):
+        return jnp.sum(jnp.sin(grid_sample(im[..., None], g[:, None])[:, 0, :, 0]))
+
+    def l_ker(im, g):
+        return jnp.sum(jnp.sin(point_sample_pallas(im, g, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1))(img, grid)
+    gk = jax.grad(l_ker, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), atol=1e-4, rtol=1e-5)
+
+
+def test_point_sample_blocked_k(rng):
+    """K > one 512-lane block and not a multiple of it."""
+    from samrs_tpu.kernels.bilinear_gather import point_sample_pallas
+
+    N, H, W, K = 2, 8, 8, 700
+    img = jnp.asarray(rng.normal(size=(N, H, W)), jnp.float32)
+    grid = jnp.asarray(rng.random((N, K, 2)) * 2 - 1 + 0.013, jnp.float32)
+    ref = grid_sample(img[..., None], grid[:, None])[:, 0, :, 0]
+    out = point_sample_pallas(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def l_ker(im):
+        return jnp.sum(jnp.cos(point_sample_pallas(im, grid, interpret=True)))
+
+    def l_ref(im):
+        return jnp.sum(jnp.cos(grid_sample(im[..., None], grid[:, None])[:, 0, :, 0]))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(l_ker)(img)), np.asarray(jax.grad(l_ref)(img)),
+        atol=1e-5, rtol=1e-5)

@@ -53,8 +53,12 @@ def test_hungarian_device_exactness_sweep():
     cases.append(c)
     cases.append(np.ones((6, 4), np.float32))  # fully tied
     cases.append(np.asarray([[0.0, 1.0], [0.0, 1.0], [1.0, 0.0]], np.float32))
+    for _ in range(4):  # Q < G (tiny-config shape)
+        q = int(rng.integers(1, 8))
+        cases.append(rng.random((q, int(rng.integers(q, 20)))).astype(np.float32))
     for cost in cases:
         q, g = cost.shape
+        g = min(g, q)  # scipy matches min(Q, G) pairs
         assign = np.asarray(hungarian_match(jnp.asarray(cost)[None]))[0]
         rows = np.nonzero(assign >= 0)[0]
         assert len(rows) == g, (q, g, assign)
