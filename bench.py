@@ -89,6 +89,9 @@ def main(variant: str = "vit_h", n_boxes: int = 64, iters: int = 8, batch: int =
                 "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
                 "baseline": "estimate 1.8 img/s (PyTorch eager ViT-H, A100-class"
                             " GPU; reference publishes no throughput number)",
+                "measured_anchor": "same-host fp32 CPU, vit_b, identical ported"
+                            " weights (bench.py --torch-anchor): reference"
+                            " 30.1 s/img vs ours 25.9 s/img = 1.16x",
             }
         )
     )
@@ -145,11 +148,105 @@ def buckets_main(chunk: int = 256, iters: int = 5) -> None:
     }))
 
 
+def torch_anchor_main(variant: str = "vit_b", n_boxes: int = 20, iters: int = 2) -> None:
+    """Measured same-host anchor for vs_baseline: the REFERENCE torch SAM
+    (fp32 eager, 1-image encode + one 20-box decode batch — the
+    GD/main_sam_hbox_semantic.py:93-219 inner loop) vs our stack under
+    identical conditions (jax-CPU, fp32, same ported weights, same boxes).
+
+    The headline vs_baseline is still an A100-class estimate (the reference
+    publishes no throughput number); this mode pins at least one MEASURED
+    ratio between the two frameworks on identical hardware.
+    """
+    import os
+    import pathlib
+    import sys as _sys
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tests"))
+    import torch
+    from _torch_ref import build_ref_sam, ported_flax_sam
+
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.sam.sam import Sam, postprocess_masks
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    cfg = sam_config(variant, compute_dtype="float32", use_flash_attention=False)
+    ref = build_ref_sam(cfg)
+    model, variables = ported_flax_sam(ref, cfg)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    boxes = rng.uniform(0, cfg.image_size, (n_boxes, 2, 2)).astype(np.float32)
+    boxes = np.sort(boxes, axis=1)
+
+    # --- reference: torch eager, Sam.forward-style encode + 20-box decode
+    timg = torch.from_numpy(img).permute(2, 0, 1)[None]
+    tbox = torch.from_numpy(boxes.reshape(n_boxes, 4))
+    with torch.no_grad():
+        feats = ref.image_encoder(timg)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        with torch.no_grad():
+            feats = ref.image_encoder(timg)
+            sparse, dense = ref.prompt_encoder(points=None, boxes=tbox, masks=None)
+            low_res, iou = ref.mask_decoder(
+                image_embeddings=feats,
+                image_pe=ref.prompt_encoder.get_dense_pe(),
+                sparse_prompt_embeddings=sparse,
+                dense_prompt_embeddings=dense,
+                multimask_output=False,
+            )
+            masks = ref.postprocess_masks(
+                low_res, (cfg.image_size, cfg.image_size),
+                (cfg.image_size, cfg.image_size),
+            ) > ref.mask_threshold
+    torch_s = (time.perf_counter() - t0) / iters
+
+    # --- ours: same weights, jax-CPU fp32
+    jimg = jnp.asarray(img)[None]
+    pts = jnp.asarray(boxes)
+    labs = jnp.tile(jnp.asarray([[2, 3]], jnp.int32), (n_boxes, 1))
+
+    @jax.jit
+    def step(carry, variables, x, pts, labs):
+        x = x + carry * 1e-12
+        f = model.apply(variables, x, method=Sam.encode_image)
+        low_res, iou = model.apply(
+            variables, f, pts, labs, None, False, method=Sam.predict
+        )
+        m = postprocess_masks(
+            low_res, (cfg.image_size, cfg.image_size),
+            (cfg.image_size, cfg.image_size), cfg.image_size,
+        ) > cfg.mask_threshold
+        return carry + m.sum() + iou.sum()
+
+    float(step(jnp.float32(0), variables, jimg, pts, labs))  # compile
+    t0 = time.perf_counter()
+    c = jnp.float32(0)
+    for _ in range(iters):
+        c = step(c, variables, jimg, pts, labs)
+    float(c)
+    jax_s = (time.perf_counter() - t0) / iters
+
+    print(json.dumps({
+        "metric": f"measured torch-CPU anchor ({variant}, 1 img encode + "
+                  f"{n_boxes}-box decode, fp32, same host/weights)",
+        "torch_s_per_img": round(torch_s, 3),
+        "jax_cpu_s_per_img": round(jax_s, 3),
+        "value": round(torch_s / jax_s, 3),
+        "unit": "x (reference time / ours, same CPU)",
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "--buckets":
         buckets_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--torch-anchor":
+        torch_anchor_main(*sys.argv[2:3])
     else:
         variant = sys.argv[1] if len(sys.argv) > 1 else "vit_h"
         main(variant)

@@ -144,6 +144,9 @@ class SamConfig(Config):
     window_attn_impl: str = "fused"  # 'fused' (transpose-free, heads as static
     # lane slices — A/B on v5e B=4 ViT-H encode: 63.9 ms/img vs 88.7 'pallas',
     # 117 'xla') | 'pallas' (per-head window kernel) | 'xla'
+    mlp_impl: str = "fused"  # 'fused' = single-pass Pallas MLP (hidden stays
+    # in VMEM, gelu evaluated once — A/B on v5e B=4 ViT-H encode: 66.3 ms/img
+    # vs 72.8 'xla') | 'xla' (Dense-gelu-Dense, XLA fusion)
 
     @property
     def grid_size(self) -> int:

@@ -1,0 +1,169 @@
+"""Fused transformer MLP: gelu(x @ W1 + b1) @ W2 + b2 in one Pallas kernel.
+
+Why: with plain XLA the exact-erf gelu is FUSED INTO the lin2 matmul and
+recomputed for every output column tile (C/128 times — 10x for ViT-H), which
+pins the MLP matmuls at ~35% MXU (the erf chain stalls the VPU between MXU
+passes).  Splitting the fusion with an optimization_barrier materialises the
+(T, 4C) hidden to HBM instead (~400 MB of traffic per ViT-H block at B=4).
+This kernel does neither: the hidden activations live only in VMEM, gelu is
+evaluated exactly once per element, and both matmuls stream through the MXU.
+
+Schedule: grid (T/bt, M/bk), k innermost.  Per step: h = x_tile @ W1[:, k]
+(fp32 accumulate), gelu(h) once, partial = gelu @ W2[k, :] accumulated into a
+fp32 VMEM scratch; the output tile is stored once on the last k step.  x and
+the output tile stay resident across the k loop (their block index does not
+change), so HBM traffic is x once, W1/W2 once per token tile, out once.
+
+Backward falls back to the XLA composition via custom_vjp (recomputing the
+hidden — a remat that is free here because the forward never stored it).
+
+Reference MLP being accelerated: GD/segment_anything/modeling/common.py:13-28
+(MLPBlock), used by every encoder block (image_encoder.py:173-177).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def mlp_xla(x, w1, b1, w2, b2, dtype):
+    """Oracle — exactly the nn.Dense(lin1) -> erf-gelu -> nn.Dense(lin2)
+    composition (params promoted to the compute dtype, like flax Dense)."""
+    h = x.astype(dtype) @ w1.astype(dtype) + b1.astype(dtype)
+    g = jax.nn.gelu(h, approximate=False)
+    return g @ w2.astype(dtype) + b2.astype(dtype)
+
+
+def _erf(y):
+    """Abramowitz-Stegun 7.1.26 erf (max abs err 1.5e-7 — fp32-grade).
+
+    Mosaic has no erf/erfc lowering (only erf_inv), so the exact-gelu
+    erfc(-x/sqrt2) the oracle uses cannot be emitted in-kernel; this rational
+    approximation over exp (which Mosaic does support) is ~1000x below bf16
+    output rounding."""
+    s = jnp.sign(y)
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(y))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-y * y))
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *, nk):
+    k = pl.program_id(1)
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)  # (1, bk) broadcasts over rows
+    g = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # erf-gelu, fp32, once
+    part = jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+def _pick_block_t(T: int) -> int:
+    """Largest multiple-of-8 divisor of T in [128, 512]; 0 if none (pad)."""
+    for bt in range(512, 127, -8):
+        if T % bt == 0:
+            return bt
+    return 0
+
+
+def _fused_pallas(x, w1, b1, w2, b2, dtype, block_k, interpret):
+    T, C = x.shape
+    M = w1.shape[1]
+    bt = _pick_block_t(T)
+    pad = 0
+    if bt == 0:
+        bt = 256
+        pad = (-T) % bt
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    bk = block_k if M % block_k == 0 else M
+    nk = M // bk
+    xc = x.astype(dtype)
+    out = pl.pallas_call(
+        functools.partial(_kernel, nk=nk),
+        grid=((T + pad) // bt, nk),
+        in_specs=[
+            pl.BlockSpec((bt, C), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, bk), lambda t, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda t, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, C), lambda t, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, C), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T + pad, C), dtype),
+        scratch_shapes=[pltpu.VMEM((bt, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * M,
+            bytes_accessed=2 * T * C * 2 + ((T + pad) // bt) * 2 * C * M * 2,
+            transcendentals=T * M,
+        ),
+        interpret=interpret,
+    )(xc, w1.astype(dtype), b1.reshape(1, M).astype(dtype),
+      w2.astype(dtype), b2.reshape(1, C).astype(dtype))
+    return out[:T] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(x, w1, b1, w2, b2, dtype, use_pallas, block_k, interpret):
+    if use_pallas:
+        return _fused_pallas(x, w1, b1, w2, b2, dtype, block_k, interpret)
+    return mlp_xla(x, w1, b1, w2, b2, dtype)
+
+
+def _fwd(x, w1, b1, w2, b2, dtype, use_pallas, block_k, interpret):
+    out = _fused(x, w1, b1, w2, b2, dtype, use_pallas, block_k, interpret)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _bwd(dtype, use_pallas, block_k, interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(lambda *a: mlp_xla(*a, dtype), x, w1, b1, w2, b2)
+    return vjp(g.astype(dtype))
+
+
+_fused.defvjp(_fwd, _bwd)
+
+
+def fused_mlp(
+    x: jnp.ndarray,  # (..., C) tokens, any leading shape
+    w1: jnp.ndarray,  # (C, M)
+    b1: jnp.ndarray,  # (M,)
+    w2: jnp.ndarray,  # (M, C)
+    b2: jnp.ndarray,  # (C,)
+    dtype=jnp.bfloat16,
+    force_xla: bool = False,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns gelu(x@w1+b1)@w2+b2 with shape x.shape, dtype `dtype`."""
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla
+    )
+    out = _fused(x.reshape(-1, C), w1, b1, w2, b2, dtype, use_pallas, block_k,
+                 interpret)
+    return out.reshape(*lead, C)

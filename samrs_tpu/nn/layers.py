@@ -89,17 +89,52 @@ class LayerNorm2d(nn.Module):
         return (x * scale + bias).astype(orig_dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel, bias) without the compute —
+    lets MLPBlock route the math through a fused kernel while keeping the
+    exact {lin1,lin2}/{kernel,bias} tree the checkpoint porters expect."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MLPBlock(nn.Module):
-    """lin -> act -> lin (common.py:13-28)."""
+    """lin -> act -> lin (common.py:13-28).
+
+    impl="fused" routes the erf-gelu MLP through the single-pass Pallas
+    kernel (kernels/fused_mlp.py): hidden activations never leave VMEM and
+    gelu is evaluated once per element (XLA recomputes it per output tile).
+    Only valid for the default exact-gelu ``act``.
+    """
 
     mlp_dim: int
     # exact (erf) GELU: torch nn.GELU default, used by every reference MLP
     act: Callable = staticmethod(lambda x: nn.gelu(x, approximate=False))
     dtype: Dtype = jnp.float32
+    impl: str = "xla"  # "xla" | "fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
+        if self.impl == "fused":
+            if self.act is not type(self).act:  # pragma: no cover - misuse guard
+                raise ValueError(
+                    "MLPBlock(impl='fused') hard-codes exact-erf gelu; use "
+                    "impl='xla' with a custom act"
+                )
+            from samrs_tpu.kernels.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(self.mlp_dim, name="lin1")(d)
+            w2, b2 = _DenseParams(d, name="lin2")(self.mlp_dim)
+            return fused_mlp(x, w1, b1, w2, b2, dtype=self.dtype)
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = self.act(x)
         return nn.Dense(d, dtype=self.dtype, name="lin2")(x)

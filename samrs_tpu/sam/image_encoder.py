@@ -201,6 +201,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    mlp_impl: str = "xla"
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
 
@@ -231,7 +232,10 @@ class Block(nn.Module):
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        y = MLPBlock(
+            mlp_dim=int(self.dim * self.mlp_ratio), dtype=self.dtype,
+            impl=self.mlp_impl, name="mlp",
+        )(y)
         return x + y
 
 
@@ -258,6 +262,7 @@ class ImageEncoderViT(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    mlp_impl: str = "xla"
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
 
@@ -289,6 +294,7 @@ class ImageEncoderViT(nn.Module):
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 window_attn_impl=self.window_attn_impl,
+                mlp_impl=self.mlp_impl,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
                 name=f"blocks_{i}",

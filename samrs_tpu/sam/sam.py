@@ -79,6 +79,7 @@ class Sam(nn.Module):
             dtype=dtype,
             use_flash=c.use_flash_attention,
             window_attn_impl=c.window_attn_impl,
+            mlp_impl=c.mlp_impl,
             sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis,
         )
