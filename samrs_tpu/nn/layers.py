@@ -106,30 +106,50 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+# Process-wide default for MLPBlock(impl=None) callers (the seg backbones,
+# which share MLPBlock but don't plumb a per-model knob).  The SAM encoder
+# passes an explicit impl from SamConfig.mlp_impl instead.  Read at TRACE
+# time: set it before building/jitting a model (it does not invalidate
+# already-compiled functions).
+MLP_IMPL_DEFAULT = "xla"
+
+
+def set_default_mlp_impl(impl: str) -> None:
+    """Set the process default MLPBlock implementation ('xla' | 'fused')."""
+    global MLP_IMPL_DEFAULT
+    if impl not in ("xla", "fused"):
+        raise ValueError(f"impl must be 'xla' or 'fused', got {impl!r}")
+    MLP_IMPL_DEFAULT = impl
+
+
 class MLPBlock(nn.Module):
     """lin -> act -> lin (common.py:13-28).
 
     impl="fused" routes the erf-gelu MLP through the single-pass Pallas
     kernel (kernels/fused_mlp.py): hidden activations never leave VMEM and
     gelu is evaluated once per element (XLA recomputes it per output tile).
-    Only valid for the default exact-gelu ``act``.
+    Only valid for the default exact-gelu ``act``.  impl=None defers to the
+    process-wide MLP_IMPL_DEFAULT.
     """
 
     mlp_dim: int
     # exact (erf) GELU: torch nn.GELU default, used by every reference MLP
     act: Callable = staticmethod(lambda x: nn.gelu(x, approximate=False))
     dtype: Dtype = jnp.float32
-    impl: str = "xla"  # "xla" | "fused"
+    impl: Optional[str] = None  # "xla" | "fused" | None (= MLP_IMPL_DEFAULT)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
-        if self.impl == "fused":
-            if self.act is not type(self).act:  # pragma: no cover - misuse guard
+        impl = self.impl if self.impl is not None else MLP_IMPL_DEFAULT
+        if impl == "fused" and self.act is not type(self).act:
+            if self.impl == "fused":  # explicit request: refuse loudly
                 raise ValueError(
                     "MLPBlock(impl='fused') hard-codes exact-erf gelu; use "
                     "impl='xla' with a custom act"
                 )
+            impl = "xla"  # global default + custom act: keep the act
+        if impl == "fused":
             from samrs_tpu.kernels.fused_mlp import fused_mlp
 
             w1, b1 = _DenseParams(self.mlp_dim, name="lin1")(d)
