@@ -147,6 +147,9 @@ class SamConfig(Config):
     mlp_impl: str = "fused"  # 'fused' = single-pass Pallas MLP (hidden stays
     # in VMEM, gelu evaluated once — A/B on v5e B=4 ViT-H encode: 66.3 ms/img
     # vs 72.8 'xla') | 'xla' (Dense-gelu-Dense, XLA fusion)
+    upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
+    # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
+    # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
 
     @property
     def grid_size(self) -> int:

@@ -45,13 +45,17 @@ class ConvTranspose2x(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, interleave: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, interleave: bool = True, params_only: bool = False
+    ):
         C = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (2, 2, C, self.features),
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if params_only:  # declare + expose params (for fused-kernel callers)
+            return kernel, bias
         xc = x.astype(self.dtype)
         # nn.ConvTranspose applies the kernel spatially FLIPPED relative to the
         # direct tap formulation (lax.conv_transpose = zero-dilate + correlate
@@ -78,14 +82,16 @@ class LayerNorm2d(nn.Module):
     epsilon: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        if params_only:  # declare + expose params (for fused-kernel callers)
+            return scale, bias
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         return (x * scale + bias).astype(orig_dtype)
 
 

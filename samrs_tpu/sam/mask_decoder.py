@@ -15,7 +15,7 @@ reference loops over images and repeat_interleaves; we broadcast).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,6 +35,10 @@ class MaskDecoder(nn.Module):
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: Dtype = jnp.float32
+    # "fused": single-pass Pallas upscale+hypernetwork kernel computing only
+    # the requested mask tokens (kernels/fused_upscale.py; falls back to the
+    # identical XLA composition off-TPU).  "xla": the tap-matmul composition.
+    upscale_impl: str = "fused"
 
     def setup(self) -> None:
         self.num_mask_tokens = self.num_multimask_outputs + 1
@@ -71,11 +75,18 @@ class MaskDecoder(nn.Module):
         multimask_output: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (masks (B, M, 4H, 4W), iou_pred (B, M))."""
-        masks, iou_pred = self.predict_masks(
-            image_embeddings, image_pe, sparse_prompt_embeddings, dense_prompt_embeddings
+        # reference slices AFTER computing all tokens (:102-107); each token's
+        # hypernetwork MLP + mask dot is independent, so computing only the
+        # requested tokens is value-identical and skips 3/4 of the upscale dot
+        idx = (
+            tuple(range(1, self.num_mask_tokens)) if multimask_output else (0,)
         )
-        sl = slice(1, None) if multimask_output else slice(0, 1)  # :102-107
-        return masks[:, sl], iou_pred[:, sl]
+        masks, iou_pred = self.predict_masks(
+            image_embeddings, image_pe, sparse_prompt_embeddings,
+            dense_prompt_embeddings, token_idx=idx,
+        )
+        sl = slice(1, None) if multimask_output else slice(0, 1)
+        return masks, iou_pred[:, sl]
 
     def predict_masks(
         self,
@@ -83,7 +94,12 @@ class MaskDecoder(nn.Module):
         image_pe: jnp.ndarray,
         sparse_prompt_embeddings: jnp.ndarray,
         dense_prompt_embeddings: jnp.ndarray,
+        token_idx: Optional[Tuple[int, ...]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (masks (B, len(token_idx), 4H, 4W), iou_pred (B, M_all)).
+
+        token_idx=None computes every mask token.  At init all hypernetwork
+        MLPs run regardless so the full parameter tree materializes."""
         B = sparse_prompt_embeddings.shape[0]
         output_tokens = jnp.concatenate([self.iou_token, self.mask_tokens], axis=0)
         output_tokens = jnp.broadcast_to(
@@ -101,6 +117,36 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens, :]
 
         src = src.reshape(B, h, w, c)
+        idx = (
+            tuple(range(self.num_mask_tokens))
+            if token_idx is None or self.is_initializing()
+            else tuple(token_idx)
+        )
+        hyper_in = jnp.stack(
+            [self.output_hypernetworks_mlps[i](mask_tokens_out[:, i, :]) for i in idx],
+            axis=1,
+        )  # (B, len(idx), c/8)
+
+        if self.upscale_impl == "fused" and not self.is_initializing():
+            # single-pass Pallas kernel: conv taps + LN + gelus + hypernetwork
+            # dot never leave VMEM (kernels/fused_upscale.py; exact-composition
+            # XLA fallback off-TPU)
+            from samrs_tpu.kernels.fused_upscale import fused_upscale_hyper
+
+            k1, b1 = self.upscale_conv1(src, params_only=True)
+            lns, lnb = self.upscale_ln(
+                jnp.zeros((1, k1.shape[-1]), jnp.float32), params_only=True
+            )
+            k2, b2 = self.upscale_conv2(
+                jnp.zeros((1, 1, 1, k1.shape[-1]), jnp.float32), params_only=True
+            )
+            masks = fused_upscale_hyper(
+                src, k1, b1, lns, lnb, k2, b2,
+                hyper_in.astype(jnp.float32), dtype=self.dtype,
+            )
+            iou_pred = self.iou_prediction_head(iou_token_out)
+            return masks, iou_pred
+
         # deferred-interleave upscale: carry the 2x2 tap axes (i,j then k,l)
         # instead of materialising pixel order after each deconv — LayerNorm2d
         # and gelu are per-pixel, so only the final mask tensor needs the
@@ -111,13 +157,6 @@ class MaskDecoder(nn.Module):
         up = self.upscale_conv2(up, interleave=False)  # (B, h, w, 2,2, 2,2, c/8)
         up = nn.gelu(up, approximate=False)
 
-        hyper_in = jnp.stack(
-            [
-                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i, :])
-                for i in range(self.num_mask_tokens)
-            ],
-            axis=1,
-        )  # (B, M, c/8)
         masks = jnp.einsum(
             "bmc,bhwijklc->bmhwijkl", hyper_in, up, preferred_element_type=jnp.float32
         )
