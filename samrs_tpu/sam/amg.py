@@ -187,7 +187,10 @@ def remove_small_regions(
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """(..., H, W) bool -> (..., 4) xyxy; zeros for empty masks (amg.py:303-346)."""
+    """(..., H, W) bool -> (..., 4) xyxy; zeros for empty masks (amg.py:303-346).
+
+    Matches the reference exactly: right/bottom edges are the INCLUSIVE max
+    pixel indices (amg.py:321-332 uses argmax coords, no +1)."""
     shape = masks.shape
     h, w = shape[-2:]
     flat = masks.reshape(-1, h, w)
@@ -196,7 +199,7 @@ def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
         ys, xs = np.nonzero(m)
         if len(xs) == 0:
             continue
-        out[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+        out[i] = (xs.min(), ys.min(), xs.max(), ys.max())
     return out.reshape(*shape[:-2], 4)
 
 
@@ -207,7 +210,7 @@ def box_nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.n
         return np.zeros(0, np.int64)
     x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")  # deterministic tie order
     keep = []
     while order.size:
         i = order[0]

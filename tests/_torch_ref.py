@@ -42,8 +42,32 @@ def install_torchvision_stub() -> None:
     def box_area(b):
         return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
 
-    def batched_nms(boxes_t, scores, idxs, iou_threshold):  # pragma: no cover
-        raise NotImplementedError("NMS not exercised by parity tests")
+    def batched_nms(boxes_t, scores, idxs, iou_threshold):
+        # torchvision.ops.boxes.batched_nms: per-category greedy NMS done by
+        # offsetting each category's boxes into a disjoint coordinate range,
+        # then plain nms (IoU = inter / union, suppress strictly-greater).
+        b = boxes_t.detach().numpy().astype(np.float64).copy()
+        s = scores.detach().numpy().astype(np.float64)
+        cat = idxs.detach().numpy()
+        if len(b):
+            off = cat.astype(np.float64) * (b.max() + 1.0)
+            b = b + off[:, None]
+        x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        areas = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+        order = np.argsort(-s, kind="stable")
+        keep = []
+        while order.size:
+            i = order[0]
+            keep.append(i)
+            rest = order[1:]
+            xx0 = np.maximum(x0[i], x0[rest])
+            yy0 = np.maximum(y0[i], y0[rest])
+            xx1 = np.minimum(x1[i], x1[rest])
+            yy1 = np.minimum(y1[i], y1[rest])
+            inter = np.maximum(xx1 - xx0, 0) * np.maximum(yy1 - yy0, 0)
+            iou = inter / np.maximum(areas[i] + areas[rest] - inter, 1e-12)
+            order = rest[iou <= iou_threshold]
+        return torch.as_tensor(np.asarray(keep, np.int64))
 
     trf.resize = resize
     trf.to_pil_image = to_pil_image

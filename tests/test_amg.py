@@ -63,7 +63,8 @@ def test_mask_box_nms():
     masks[1, 2:8, 3:9] = True  # duplicate
     masks[2, 12:18, 12:18] = True
     boxes = batched_mask_to_box(masks)
-    np.testing.assert_array_equal(boxes[0], [3, 2, 9, 8])
+    # reference convention: right/bottom are INCLUSIVE max indices (amg.py:321-332)
+    np.testing.assert_array_equal(boxes[0], [3, 2, 8, 7])
     keep = box_nms(boxes.astype(np.float32), np.array([0.9, 0.8, 0.7]), 0.5)
     assert sorted(keep.tolist()) == [0, 2]
 

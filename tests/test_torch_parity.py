@@ -350,3 +350,66 @@ def test_generation_tile_parity(pair):
             assert counts_str(res.records[i]["mask"]["counts"]) == counts_str(
                 ref_rle["counts"]
             ), f"instance {i}: identical masks produced different RLE bytes"
+
+
+def test_automatic_mask_generator_parity(pair):
+    """End-to-end SamAutomaticMaskGenerator vs the reference
+    (GD/segment_anything/automatic_mask_generator.py:137-322): same grid
+    prompting, IoU/stability bookkeeping, NMS survivors and masks, including
+    the crop loop (crop_n_layers=1) and cross-crop NMS."""
+    cfg, tsam, fmodel, fvars = pair
+    sa = ref_segment_anything()
+    from samrs_tpu.sam.automatic_mask_generator import SamAutomaticMaskGenerator
+    from samrs_tpu.sam.predictor import SamPredictor as FlaxPredictor
+
+    rng = np.random.default_rng(11)
+    image = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+
+    kwargs = dict(
+        points_per_side=6,
+        points_per_batch=64,
+        pred_iou_thresh=0.0,
+        stability_score_thresh=0.0,
+        box_nms_thresh=0.7,
+        crop_nms_thresh=0.7,
+        output_mode="binary_mask",
+    )
+    for crop_n_layers in (0, 1):
+        t_amg = sa.SamAutomaticMaskGenerator(tsam, crop_n_layers=crop_n_layers, **kwargs)
+        with torch.no_grad():
+            t_anns = t_amg.generate(image)
+
+        f_amg = SamAutomaticMaskGenerator(
+            FlaxPredictor(fmodel, fvars), crop_n_layers=crop_n_layers, **kwargs
+        )
+        f_anns = f_amg.generate(image)
+
+        assert abs(len(t_anns) - len(f_anns)) <= 1, (
+            f"crop_n_layers={crop_n_layers}: {len(t_anns)} torch vs "
+            f"{len(f_anns)} flax masks"
+        )
+        # greedy best-IoU matching (NMS survivor order may differ)
+        f_free = list(range(len(f_anns)))
+        matched = 0
+        for ta in t_anns:
+            tm = np.asarray(ta["segmentation"], bool)
+            best, best_j = 0.0, -1
+            for j in f_free:
+                fm = np.asarray(f_anns[j]["segmentation"], bool)
+                iou = _mask_iou(tm, fm)
+                if iou > best:
+                    best, best_j = iou, j
+            if best >= 0.99:
+                fa = f_anns[best_j]
+                f_free.remove(best_j)
+                matched += 1
+                assert abs(ta["predicted_iou"] - fa["predicted_iou"]) < 1e-3
+                assert abs(ta["stability_score"] - fa["stability_score"]) < 1e-3
+                if np.array_equal(tm, np.asarray(fa["segmentation"], bool)):
+                    assert ta["bbox"] == fa["bbox"]
+                    assert ta["area"] == fa["area"]
+        assert matched >= len(t_anns) - 1, (
+            f"crop_n_layers={crop_n_layers}: only {matched}/{len(t_anns)} "
+            "reference masks matched at IoU>=0.99"
+        )
+        assert matched >= 1
