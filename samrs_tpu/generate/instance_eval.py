@@ -114,9 +114,11 @@ def predict_instances(
                 mp = box_as_mask_prompt(ann.hboxes[i], hw, predictor.cfg.image_size, lowres)
             else:
                 mp = poly_as_mask_prompt(ann.polys[i], hw, predictor.cfg.image_size, lowres)
-            # mask-only prompt: a single not-a-point placeholder point
+            # mask-only prompt: ZERO sparse tokens, exactly the reference's
+            # empty sparse-embedding path (prompt_encoder.py:155-160) — a
+            # not-a-point pad token would change the decoder's token attention
             m, s, _ = predictor._predict_padded(
-                np.zeros((1, 1, 2), np.float32), np.full((1, 1), -1, np.int32),
+                np.zeros((1, 0, 2), np.float32), np.zeros((1, 0), np.int32),
                 mp, False, False,
             )
             masks.append(m[0, 0])

@@ -216,7 +216,16 @@ class SamPredictor:
         """
         if not self.is_image_set:
             raise RuntimeError("An image must be set with .set_image(...) first.")
-        pts, labs = self._prompts_to_points(point_coords, point_labels, box)
+        if point_coords is None and box is None:
+            if mask_input is None:
+                raise ValueError("at least one of point_coords/box/mask_input required")
+            # mask-only prompt: the reference passes EMPTY sparse embeddings
+            # (prompt_encoder.py:155-160 makes a (B, 0, C) tensor), so zero
+            # point tokens — NOT a not-a-point pad — is the parity-exact shape
+            pts = np.zeros((0, 2), np.float32)
+            labs = np.zeros((0,), np.int32)
+        else:
+            pts, labs = self._prompts_to_points(point_coords, point_labels, box)
         masks, iou, low_res = self._predict_padded(
             pts[None], labs[None], mask_input, multimask_output, return_logits
         )

@@ -413,3 +413,64 @@ def test_automatic_mask_generator_parity(pair):
             "reference masks matched at IoU>=0.99"
         )
         assert matched >= 1
+
+
+def test_mask_prompt_parity(pair):
+    """Mask-ONLY prompts (the rbox_mask/hbox_mask eval drivers,
+    main_sam_rbox_mask_instance.py:125-164): the reference encodes them with
+    EMPTY sparse embeddings (prompt_encoder.py:155-160) plus the 3-conv mask
+    downscaler; masks and IoU predictions must match end to end."""
+    cfg, tsam, fmodel, fvars = pair
+    sa = ref_segment_anything()
+    from samrs_tpu.sam.predictor import SamPredictor as FlaxPredictor
+
+    rng = np.random.default_rng(7)
+    image = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    lowres = 4 * (cfg.image_size // cfg.patch_size)
+    # +-1000 logit canvas like the reference driver builds from fillPoly
+    canvas = np.full((lowres, lowres), -1000.0, np.float32)
+    canvas[lowres // 4 : lowres // 2, lowres // 8 : 3 * lowres // 4] = 1000.0
+
+    t_pred = sa.SamPredictor(tsam)
+    t_pred.set_image(image)
+    with torch.no_grad():
+        t_masks, t_iou, t_low = t_pred.predict_torch(
+            point_coords=None, point_labels=None, boxes=None,
+            mask_input=torch.from_numpy(canvas)[None, None],
+            multimask_output=False,
+        )
+    t_mask = t_masks[0, 0].numpy()
+
+    f_pred = FlaxPredictor(fmodel, fvars)
+    f_pred.set_image(image)
+    f_masks, f_iou, f_low = f_pred.predict(
+        mask_input=canvas, multimask_output=False
+    )
+    f_mask = np.asarray(f_masks[0], bool)
+
+    np.testing.assert_allclose(
+        np.asarray(f_low[0]), t_low[0, 0].numpy(), atol=2e-3
+    )
+    assert abs(float(f_iou[0]) - float(t_iou[0, 0])) < 1e-3
+    iou = _mask_iou(t_mask, f_mask)
+    assert iou >= 0.99, f"mask-prompt mask IoU {iou:.4f} < 0.99"
+
+    # also cover points + mask_input together (hbox_mask-with-point variant)
+    pt = np.array([[40.0, 50.0]], np.float32)
+    with torch.no_grad():
+        t2, t2_iou, _ = t_pred.predict_torch(
+            point_coords=torch.from_numpy(
+                t_pred.transform.apply_coords(pt, image.shape[:2])
+            )[None],
+            point_labels=torch.ones((1, 1)),
+            boxes=None,
+            mask_input=torch.from_numpy(canvas)[None, None],
+            multimask_output=False,
+        )
+    f2, f2_iou, _ = f_pred.predict(
+        point_coords=pt, point_labels=np.array([1], np.int32),
+        mask_input=canvas, multimask_output=False,
+    )
+    iou2 = _mask_iou(t2[0, 0].numpy(), np.asarray(f2[0], bool))
+    assert iou2 >= 0.99, f"point+mask prompt IoU {iou2:.4f} < 0.99"
+    assert abs(float(f2_iou[0]) - float(t2_iou[0, 0])) < 1e-3
