@@ -16,6 +16,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -240,13 +243,67 @@ def torch_anchor_main(variant: str = "vit_b", n_boxes: int = 20, iters: int = 2)
     }))
 
 
-if __name__ == "__main__":
-    import sys
+def _orchestrate() -> int:
+    """Run the bench in child subprocesses with bounded retries + fallback.
 
+    The axon TPU backend is intermittently unavailable (round-2 capture died
+    with ``UNAVAILABLE: TPU backend setup/compile error`` after ~25 min, and
+    the remote-compile service latency varies 10-25 min for ViT-H).  Plan:
+
+      1. full ViT-H B=4 bench (the headline number), bounded at 45 min;
+      2. on failure, a fast ViT-B B=1 fallback (compiles in minutes);
+      3. on persistent failure, emit ONE parseable JSON error line
+         (never a raw stack trace) and exit nonzero.
+    """
+    attempts = [
+        ("vit_h", ["--run", "vit_h", "4", "8"], 2700),
+        ("vit_b-fast", ["--run", "vit_b", "1", "8"], 1500),
+    ]
+    errors = []
+    for name, args, tmo in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *args],
+                capture_output=True, text=True, timeout=tmo,
+            )
+        except subprocess.TimeoutExpired:
+            errors.append(f"{name}: timeout after {tmo}s")
+            continue
+        line = next(
+            (l for l in reversed(proc.stdout.strip().splitlines())
+             if l.startswith("{")),
+            None,
+        )
+        if proc.returncode == 0 and line is not None:
+            print(line)
+            return 0
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        errors.append(f"{name}: rc={proc.returncode} {(tail[-1] if tail else '')[:300]}")
+        time.sleep(20)
+    print(json.dumps({
+        "metric": "SAM box-prompted images/sec/chip (64 boxes/img)",
+        "value": 0.0,
+        "unit": "img/s",
+        "vs_baseline": 0.0,
+        "error": "backend unavailable",
+        "attempts": errors,
+    }))
+    return 1
+
+
+if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--buckets":
         buckets_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--torch-anchor":
         torch_anchor_main(*sys.argv[2:3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--fast":
+        main("vit_b", batch=1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--run":
+        variant = sys.argv[2]
+        batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        main(variant, batch=batch, iters=iters)
+    elif len(sys.argv) > 1 and not sys.argv[1].startswith("-"):
+        main(sys.argv[1])
     else:
-        variant = sys.argv[1] if len(sys.argv) > 1 else "vit_h"
-        main(variant)
+        sys.exit(_orchestrate())

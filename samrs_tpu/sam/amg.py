@@ -190,11 +190,12 @@ def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
     """(..., H, W) bool -> (..., 4) xyxy; zeros for empty masks (amg.py:303-346).
 
     Matches the reference exactly: right/bottom edges are the INCLUSIVE max
-    pixel indices (amg.py:321-332 uses argmax coords, no +1)."""
+    pixel indices (amg.py:321-332 uses argmax coords, no +1).  int64 like the
+    reference's torch output so serialized bbox/crop_box fields are ints."""
     shape = masks.shape
     h, w = shape[-2:]
     flat = masks.reshape(-1, h, w)
-    out = np.zeros((flat.shape[0], 4), np.float32)
+    out = np.zeros((flat.shape[0], 4), np.int64)
     for i, m in enumerate(flat):
         ys, xs = np.nonzero(m)
         if len(xs) == 0:

@@ -221,7 +221,10 @@ class SamPredictor:
                 raise ValueError("at least one of point_coords/box/mask_input required")
             # mask-only prompt: the reference passes EMPTY sparse embeddings
             # (prompt_encoder.py:155-160 makes a (B, 0, C) tensor), so zero
-            # point tokens — NOT a not-a-point pad — is the parity-exact shape
+            # point tokens — NOT a not-a-point pad — is the parity-exact shape.
+            # NB: bucket=0 is its own jit shape key -> one extra cold compile
+            # the first time a mask-only prompt runs on the TPU remote-compile
+            # service (warm it with a dummy call if that matters).
             pts = np.zeros((0, 2), np.float32)
             labs = np.zeros((0,), np.int32)
         else:

@@ -278,3 +278,12 @@ def vit_l_rvsa(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> Vi
         mlp_ratio=4.0, window_size=7, interval=3, out_indices=(7, 11, 15, 23),
         drop_path_rate=0.1, dtype=dtype, **kw,
     )
+
+
+def vit_h_rvsa(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> ViTRVSA:
+    """Builder matching vit_h_rvsa (vit_win_rvsa_v3_wsz7.py:862-881)."""
+    return ViTRVSA(
+        img_size=image_size, patch_size=16, embed_dim=1280, depth=32, num_heads=16,
+        mlp_ratio=4.0, window_size=7, interval=3, out_indices=(10, 15, 20, 31),
+        drop_path_rate=0.1, dtype=dtype, **kw,
+    )

@@ -32,6 +32,12 @@ def _vit_l_rvsa(**kw):
     return vit_l_rvsa(**kw)
 
 
+def _vit_h_rvsa(**kw):
+    from samrs_tpu.seg.backbones.rvsa import vit_h_rvsa
+
+    return vit_h_rvsa(**kw)
+
+
 def _swin_t(**kw):
     from samrs_tpu.seg.backbones.swin import swin_t
 
@@ -64,6 +70,7 @@ BACKBONES: Dict[str, Callable[..., Any]] = {
     "vit_b": _vit_b,
     "vit_b_rvsa": _vit_b_rvsa,
     "vit_l_rvsa": _vit_l_rvsa,
+    "vit_h_rvsa": _vit_h_rvsa,
     "swin_t": _swin_t,
     "vitaev2_s": _vitaev2_s,
     "internimage_t": _internimage_t,

@@ -27,7 +27,12 @@ from samrs_tpu.core.metrics import segmentation_scores
 from samrs_tpu.data.datasets import DataLoader, ISAIDDataset, ISPRSDataset
 from samrs_tpu.data.transforms import EvalAugment, TrainAugment
 from samrs_tpu.seg.frameworks import SegModel
-from samrs_tpu.train.optim import build_optimizer, warmup_cosine_schedule
+from samrs_tpu.seg.registry import get_backbone
+from samrs_tpu.train.optim import (
+    backbone_optim_settings,
+    build_optimizer,
+    warmup_cosine_schedule,
+)
 from samrs_tpu.train.trainer import TrainState, make_eval_step, make_finetune_step
 
 logger = logging.getLogger("samrs_tpu.finetune")
@@ -103,10 +108,15 @@ def run_finetune(
     sched = warmup_cosine_schedule(
         cfg.optim.lr, total_steps, cfg.optim.warmup_iters, cfg.optim.min_lr_ratio
     )
+    bset = backbone_optim_settings(
+        cfg.backbone, get_backbone(cfg.backbone, image_size=size), batch
+    )
     tx = build_optimizer(
         params, sched, weight_decay=cfg.optim.weight_decay,
         betas=tuple(cfg.optim.betas), grad_clip=cfg.optim.grad_clip,
         layer_decay=cfg.optim.layer_decay, optimizer=cfg.optim.optimizer,
+        num_layers=bset["num_layers"], layer_id_scheme=bset["scheme"],
+        depths=bset["depths"],
     )
     state = jax.device_put(TrainState.create(params, variables.get("batch_stats", {}), tx), repl)
     train_step = make_finetune_step(model, tx)
@@ -141,11 +151,17 @@ def evaluate_simple(model, state, dataset_val, eval_step, num_classes, dsh, skip
     inter = np.zeros(num_classes)
     target = np.zeros(num_classes)
     union = np.zeros(num_classes)
+    bs = max(jax.device_count(), 4)
     loader = DataLoader(
-        dataset_val, batch_size=max(jax.device_count(), 4), shuffle=False,
+        dataset_val, batch_size=bs, shuffle=False,
         process_index=jax.process_index(), process_count=jax.process_count(),
+        drop_last=False,
     )
     for x, y in loader:
+        if x.shape[0] < bs:  # pad tail batch with ignore labels; all images count
+            pad = bs - x.shape[0]
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            y = np.concatenate([y, np.full((pad, *y.shape[1:]), 255, y.dtype)])
         iu = eval_step(state.params, state.batch_stats,
                        jax.device_put(x, dsh), jax.device_put(y, dsh))
         inter += np.asarray(iu[0])

@@ -31,7 +31,12 @@ from samrs_tpu.core.metrics import segmentation_scores
 from samrs_tpu.data.datasets import DataLoader, SegmentationDataset, infinite_loader
 from samrs_tpu.data.transforms import EvalAugment, TrainAugment
 from samrs_tpu.seg.frameworks import MultiHeadSegModel
-from samrs_tpu.train.optim import build_optimizer, warmup_cosine_schedule
+from samrs_tpu.seg.registry import get_backbone
+from samrs_tpu.train.optim import (
+    backbone_optim_settings,
+    build_optimizer,
+    warmup_cosine_schedule,
+)
 from samrs_tpu.train.trainer import TrainState, make_eval_step, make_pretrain_step
 
 logger = logging.getLogger("samrs_tpu.pretrain")
@@ -166,7 +171,12 @@ def run_pretrain(
     sched = warmup_cosine_schedule(
         cfg.optim.lr, cfg.total_iters, cfg.optim.warmup_iters, cfg.optim.min_lr_ratio
     )
-    depth = {"vit_b_rvsa": 12, "vit_b": 12, "vit_l_rvsa": 24}.get(cfg.backbone, 12)
+    # per-backbone scheme + model-derived depth (ED/main_pretrain.py:329-409);
+    # lr/wd/layer_decay themselves stay cfg-driven (see apply_optim_defaults)
+    bset = backbone_optim_settings(
+        cfg.backbone, get_backbone(cfg.backbone, image_size=cfg.data.image_size),
+        cfg.data.batch_size,
+    )
     tx = build_optimizer(
         params,
         sched,
@@ -174,8 +184,10 @@ def run_pretrain(
         betas=tuple(cfg.optim.betas),
         grad_clip=cfg.optim.grad_clip,
         layer_decay=cfg.optim.layer_decay,
-        num_layers=depth,
+        num_layers=bset["num_layers"],
         optimizer=cfg.optim.optimizer,
+        layer_id_scheme=bset["scheme"],
+        depths=bset["depths"],
     )
     state = TrainState.create(params, batch_stats, tx)
     start_meta = {}
@@ -277,15 +289,23 @@ def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> f
         inter = np.zeros(nc)
         target = np.zeros(nc)
         union = np.zeros(nc)
+        bs = max(jax.device_count(), 8)
         loader = DataLoader(
             datasets_val[name],
-            batch_size=max(jax.device_count(), 8),
+            batch_size=bs,
             shuffle=False,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-            drop_last=True,
+            drop_last=False,
         )
         for x, y in loader:
+            if x.shape[0] < bs:
+                # pad the ragged tail batch (shape key + even sharding) with
+                # ignore-label rows so ALL val images count (the reference
+                # evaluates the full split, ED/main_pretrain.py:463-556)
+                pad = bs - x.shape[0]
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                y = np.concatenate([y, np.full((pad, *y.shape[1:]), 255, y.dtype)])
             iu = eval_steps[i](state.params, state.batch_stats,
                                jax.device_put(x, dsh), jax.device_put(y, dsh))
             inter += np.asarray(iu[0])
@@ -306,6 +326,18 @@ def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> f
     return float(np.mean(mious)) if mious else 0.0
 
 
+def apply_optim_defaults(cfg: PretrainConfig, overrides: Sequence[str]) -> PretrainConfig:
+    """Fold the per-family lr/wd/layer-decay defaults (ED/main_pretrain.py:
+    329-409) into cfg.optim, keeping any explicit ``optim.*=`` CLI override."""
+    fam = backbone_optim_settings(cfg.backbone, None, cfg.data.batch_size)
+    explicit = {o.split("=", 1)[0] for o in overrides if "=" in o}
+    for key, val in (("lr", fam["lr"]), ("weight_decay", fam["weight_decay"]),
+                     ("layer_decay", fam["layer_decay"])):
+        if f"optim.{key}" not in explicit:
+            object.__setattr__(cfg.optim, key, val)
+    return cfg
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     import argparse
 
@@ -316,7 +348,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if a.multihost:
         jax.distributed.initialize()
     logging.basicConfig(level=logging.INFO)
-    cfg = PretrainConfig().override(a.overrides)
+    cfg = apply_optim_defaults(PretrainConfig().override(a.overrides), a.overrides)
     run_pretrain(cfg)
 
 

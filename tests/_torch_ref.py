@@ -54,6 +54,10 @@ def install_torchvision_stub() -> None:
             b = b + off[:, None]
         x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
         areas = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+        # Stable descending sort is a deliberate deterministic choice shared
+        # with samrs_tpu.sam.amg.box_nms; real torchvision NMS does NOT
+        # guarantee score-tie ordering, so a future CI run against actual
+        # torchvision failing only on ties is expected, not a regression.
         order = np.argsort(-s, kind="stable")
         keep = []
         while order.size:
