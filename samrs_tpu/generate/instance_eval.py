@@ -85,16 +85,10 @@ def predict_instances(
     n = ann.num_instances
 
     if prompt == "point":
-        masks = []
-        scores = []
-        for i in range(n):
-            m, s, _ = predictor.predict(
-                point_coords=ann.points[i : i + 1], point_labels=np.ones(1, np.int32),
-                multimask_output=False,
-            )
-            masks.append(m[0])
-            scores.append(float(s[0]))
-        return np.stack(masks).astype(np.uint8), np.asarray(scores)
+        # ALL instances decode in one bucket-padded jit call (the box path's
+        # batching, applied to points; the reference loops predictor.predict)
+        m, s = predictor.predict_points(ann.points[:n], multimask_output=False)[:2]
+        return m[:, 0].astype(np.uint8), s[:, 0]
 
     if prompt in ("hbox", "rhbox"):
         if prompt == "rhbox":
@@ -107,23 +101,19 @@ def predict_instances(
         return m[:, 0].astype(np.uint8), s[:, 0]
 
     if prompt in ("hbox_mask", "rbox_mask"):
+        # mask-only prompts: ZERO sparse tokens, exactly the reference's
+        # empty sparse-embedding path (prompt_encoder.py:155-160) — a
+        # not-a-point pad token would change the decoder's token attention.
+        # All canvases rasterize on host, then ONE bucket-padded decode.
         lowres = predictor.cfg.grid_size * 4
-        masks, scores = [], []
-        for i in range(n):
-            if prompt == "hbox_mask":
-                mp = box_as_mask_prompt(ann.hboxes[i], hw, predictor.cfg.image_size, lowres)
-            else:
-                mp = poly_as_mask_prompt(ann.polys[i], hw, predictor.cfg.image_size, lowres)
-            # mask-only prompt: ZERO sparse tokens, exactly the reference's
-            # empty sparse-embedding path (prompt_encoder.py:155-160) — a
-            # not-a-point pad token would change the decoder's token attention
-            m, s, _ = predictor._predict_padded(
-                np.zeros((1, 0, 2), np.float32), np.zeros((1, 0), np.int32),
-                mp, False, False,
-            )
-            masks.append(m[0, 0])
-            scores.append(float(s[0, 0]))
-        return np.stack(masks).astype(np.uint8), np.asarray(scores)
+        if prompt == "hbox_mask":
+            mps = [box_as_mask_prompt(ann.hboxes[i], hw, predictor.cfg.image_size, lowres)
+                   for i in range(n)]
+        else:
+            mps = [poly_as_mask_prompt(ann.polys[i], hw, predictor.cfg.image_size, lowres)
+                   for i in range(n)]
+        m, s = predictor.predict_mask_prompts(np.stack(mps), multimask_output=False)[:2]
+        return m[:, 0].astype(np.uint8), s[:, 0]
 
     raise KeyError(f"unknown prompt mode {prompt!r}; have {PROMPT_MODES}")
 

@@ -267,6 +267,63 @@ class SamPredictor:
         )
         return np.asarray(out[:n]), np.asarray(iou[:n]), np.asarray(low_res[:n])
 
+    def predict_points(
+        self,
+        point_coords: np.ndarray,
+        multimask_output: bool = False,
+        return_logits: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched single-point decode: (N, 2) foreground points, one prompt
+        per point, in ONE bucket-padded jit call (the point twin of
+        `predict_boxes`; each row is [point(label 1), not-a-point pad],
+        exactly the reference's single-point prompt shape
+        prompt_encoder.py:81-87)."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        n = point_coords.shape[0]
+        nb = _bucket(n, self.buckets)
+        tc = self.transform.apply_coords(
+            point_coords.astype(np.float32), self.original_size
+        )
+        pts = np.zeros((nb, 2, 2), np.float32)
+        labs = np.full((nb, 2), -1, np.int32)
+        pts[:n, 0] = tc
+        labs[:n, 0] = 1
+        low_res, iou = self._decode(
+            self.variables, self.features, jnp.asarray(pts), jnp.asarray(labs), None,
+            multimask_output,
+        )
+        out = self._postprocess(
+            low_res, tuple(self.input_size), tuple(self.original_size), not return_logits
+        )
+        return np.asarray(out[:n]), np.asarray(iou[:n]), np.asarray(low_res[:n])
+
+    def predict_mask_prompts(
+        self,
+        mask_inputs: np.ndarray,
+        multimask_output: bool = False,
+        return_logits: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched mask-only decode: (N, 4g, 4g) low-res logit canvases with
+        ZERO sparse tokens per prompt (the reference's empty sparse-embedding
+        path, prompt_encoder.py:155-160), in ONE bucket-padded jit call."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        n = mask_inputs.shape[0]
+        nb = _bucket(n, self.buckets)
+        mi = np.zeros((nb, *mask_inputs.shape[-2:], 1), np.float32)
+        mi[:n] = np.asarray(mask_inputs, np.float32)[..., None]
+        pts = np.zeros((nb, 0, 2), np.float32)
+        labs = np.zeros((nb, 0), np.int32)
+        low_res, iou = self._decode(
+            self.variables, self.features, jnp.asarray(pts), jnp.asarray(labs),
+            jnp.asarray(mi), multimask_output,
+        )
+        out = self._postprocess(
+            low_res, tuple(self.input_size), tuple(self.original_size), not return_logits
+        )
+        return np.asarray(out[:n]), np.asarray(iou[:n]), np.asarray(low_res[:n])
+
     def predict_boxes_lowres(self, boxes: np.ndarray, multimask_output: bool = False):
         """Device-resident batched decode: (N,4) xyxy -> (low_res (Nb,M,g4,g4),
         iou (Nb,M)) jax arrays, Nb = bucket-padded N.  The generation pipeline

@@ -238,7 +238,10 @@ class ViTRVSA(nn.Module):
         for i in range(self.depth):
             full = (i + 1) % self.interval == 0
             if full:
-                attn_cls, kwargs = FullAttentionRelPos, dict(input_size=(Hp, Wp))
+                # no rel-pos in the reference's full-attn class (:83-84,103)
+                attn_cls, kwargs = FullAttentionRelPos, dict(
+                    input_size=(Hp, Wp), use_rel_pos=False
+                )
             else:
                 attn_cls, kwargs = RotatedVariedSizeWindowAttention, dict(
                     window_size=self.window_size
@@ -267,7 +270,7 @@ def vit_b_rvsa(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> Vi
     """Builder matching vit_b_rvsa (vit_win_rvsa_v3_wsz7.py:819-845)."""
     defaults = dict(patch_size=16, embed_dim=768, depth=12, num_heads=12,
                     mlp_ratio=4.0, window_size=7, interval=3, out_indices=(3, 5, 7, 11),
-                    drop_path_rate=0.1)
+                    drop_path_rate=0.1, use_abs_pos_emb=False)
     defaults.update(kw)
     return ViTRVSA(img_size=image_size, dtype=dtype, **defaults)
 
@@ -276,7 +279,7 @@ def vit_l_rvsa(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> Vi
     return ViTRVSA(
         img_size=image_size, patch_size=16, embed_dim=1024, depth=24, num_heads=16,
         mlp_ratio=4.0, window_size=7, interval=3, out_indices=(7, 11, 15, 23),
-        drop_path_rate=0.1, dtype=dtype, **kw,
+        drop_path_rate=0.1, use_abs_pos_emb=False, dtype=dtype, **kw,
     )
 
 
@@ -285,5 +288,5 @@ def vit_h_rvsa(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> Vi
     return ViTRVSA(
         img_size=image_size, patch_size=16, embed_dim=1280, depth=32, num_heads=16,
         mlp_ratio=4.0, window_size=7, interval=3, out_indices=(10, 15, 20, 31),
-        drop_path_rate=0.1, dtype=dtype, **kw,
+        drop_path_rate=0.1, use_abs_pos_emb=False, dtype=dtype, **kw,
     )

@@ -103,10 +103,17 @@ class SwinBlock(nn.Module):
         ws = self.window_size
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        shift = self.shift if min(H, W) > ws else 0
+        # reference order (ED/backbone/swin.py:219-252): pad bottom-right to a
+        # window multiple FIRST, then cyclic-shift the PADDED map; shift is
+        # never disabled for small grids (a 3x3 stage still shifts by 3)
+        pad_b, pad_r = (-H) % ws, (-W) % ws
+        Hp, Wp = H + pad_b, W + pad_r
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        shift = self.shift
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        wins, (Hp, Wp) = window_partition(x, ws)
+        wins, _ = window_partition(x, ws)
         wins = wins.reshape(-1, ws * ws, C)
         mask = None
         if shift > 0:
@@ -115,9 +122,10 @@ class SwinBlock(nn.Module):
             wins, mask
         )
         y = y.reshape(-1, ws, ws, C)
-        y = window_unpartition(y, ws, (Hp, Wp), (H, W))
+        y = window_unpartition(y, ws, (Hp, Wp), (Hp, Wp))
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :H, :W]
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, not train)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
@@ -183,8 +191,9 @@ class Swin(nn.Module):
 
 
 def swin_t(dtype: Any = jnp.float32, **kw: Any) -> Swin:
+    # drop_path 0.3 mirrors the SEP pretrain build (ED/models.py:73-81)
     defaults = dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
-                    drop_path_rate=0.2)
+                    drop_path_rate=0.3)
     defaults.update(kw)
     return Swin(dtype=dtype, **defaults)
 

@@ -27,6 +27,10 @@ class FullAttentionRelPos(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     input_size: Tuple[int, int] = (14, 14)
+    # the reference RVSA file's full-attention class DEFINES no rel-pos (the
+    # calc_rel_pos_spatial call and params are commented out,
+    # vit_win_rvsa_v3_wsz7.py:83-84,103) — ViTRVSA passes use_rel_pos=False
+    use_rel_pos: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -38,16 +42,17 @@ class FullAttentionRelPos(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        rel_pos_h = self.param(
-            "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd), jnp.float32
-        )
-        rel_pos_w = self.param(
-            "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd), jnp.float32
-        )
         attn = jnp.einsum("bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32)
-        attn = add_decomposed_rel_pos(
-            attn, q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W), (H, W)
-        )
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd), jnp.float32
+            )
+            attn = add_decomposed_rel_pos(
+                attn, q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W), (H, W)
+            )
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum(
             "bqk,bkd->bqd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -112,7 +117,10 @@ class ViTFPNNeck(nn.Module):
 
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         f1, f2, f3, f4 = feats
-        c1 = self.fpn1_deconv2(nn.gelu(self.fpn1_norm(self.fpn1_deconv1(f1))))
+        # exact erf gelu: the reference's nn.GELU() (torch default) is erf
+        c1 = self.fpn1_deconv2(
+            nn.gelu(self.fpn1_norm(self.fpn1_deconv1(f1)), approximate=False)
+        )
         c2 = self.fpn2_deconv(f2)
         c3 = f3
         c4 = nn.max_pool(f4, (2, 2), strides=(2, 2))

@@ -811,6 +811,207 @@ def load_torch_vit_adapter_backbone(
     return params, batch_stats, sorted(set(loaded)), sorted(set(skipped))
 
 
+def _make_try_set(params: Dict[str, Any]):
+    import copy
+
+    params = copy.deepcopy(params)
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    def try_set(flax_path: List[str], value: np.ndarray, tk: str) -> None:
+        node = params
+        for k in flax_path[:-1]:
+            if k not in node:
+                skipped.append(tk)
+                return
+            node = node[k]
+        leaf = flax_path[-1]
+        if leaf not in node or tuple(np.shape(node[leaf])) != tuple(value.shape):
+            skipped.append(tk)
+            return
+        node[leaf] = value
+        loaded.append(tk)
+
+    return params, loaded, skipped, try_set
+
+
+def _convT(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (Cin,Cout,kh,kw) -> our ConvTranspose2x
+    kernel (kh,kw,Cin,Cout) in flax ConvTranspose convention (spatially
+    flipped relative to the direct tap formulation)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _map_vit_fpn_neck(tk: str, v: np.ndarray, try_set) -> bool:
+    """Map the reference 4-branch FPN neck (vit_win_rvsa_v3_wsz7.py:640-656 /
+    vit.py:232-247: fpn1 = deconv+Norm2d+GELU+deconv, fpn2 = deconv) onto our
+    ViTFPNNeck params.  Returns True when the key was a neck key."""
+    table = {
+        "fpn1.0.weight": (["neck", "fpn1_deconv1", "kernel"], _convT),
+        "fpn1.0.bias": (["neck", "fpn1_deconv1", "bias"], None),
+        "fpn1.1.ln.weight": (["neck", "fpn1_norm", "scale"], None),
+        "fpn1.1.ln.bias": (["neck", "fpn1_norm", "bias"], None),
+        "fpn1.3.weight": (["neck", "fpn1_deconv2", "kernel"], _convT),
+        "fpn1.3.bias": (["neck", "fpn1_deconv2", "bias"], None),
+        "fpn2.0.weight": (["neck", "fpn2_deconv", "kernel"], _convT),
+        "fpn2.0.bias": (["neck", "fpn2_deconv", "bias"], None),
+    }
+    if tk not in table:
+        return False
+    path, op = table[tk]
+    try_set(path, op(v) if op else v, tk)
+    return True
+
+
+def load_torch_rvsa_backbone(
+    state_dict: Mapping[str, Any], params: Dict[str, Any]
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """FULL load of a reference ViT_Win_RVSA_V3_WSZ7 state dict — trunk,
+    RVSA sampling nets, both rel-pos systems, and the FPN neck
+    (vit_win_rvsa_v3_wsz7.py:196-881) — into our ViTRVSA params.
+
+    Unlike `load_torch_vit_backbone` (non-strict MAE-trunk graft) this maps
+    every RVSA-specific parameter, enabling forward-parity testing and
+    porting fully-finetuned reference checkpoints."""
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params, loaded, skipped, try_set = _make_try_set(params)
+
+    for tk, v in sd.items():
+        if tk in ("cls_token", "mask_token", "norm.weight", "norm.bias"):
+            skipped.append(tk)  # final norm is unused (forward_features :785-813)
+            continue
+        if tk == "pos_embed":
+            if "pos_embed" in params and np.shape(params["pos_embed"]) == v.shape:
+                params["pos_embed"] = v
+                loaded.append(tk)
+            else:
+                skipped.append(tk)
+            continue
+        if tk.startswith("patch_embed.proj."):
+            if tk.endswith("weight"):
+                try_set(["patch_embed", "kernel"], v.transpose(2, 3, 1, 0), tk)
+            else:
+                try_set(["patch_embed", "bias"], v, tk)
+            continue
+        if _map_vit_fpn_neck(tk, v, try_set):
+            continue
+        m = re.match(r"blocks\.(\d+)\.(.*)", tk)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            blk = f"blocks_{i}"
+            table = {
+                "norm1.weight": ([blk, "norm1", "scale"], None),
+                "norm1.bias": ([blk, "norm1", "bias"], None),
+                "norm2.weight": ([blk, "norm2", "scale"], None),
+                "norm2.bias": ([blk, "norm2", "bias"], None),
+                "attn.qkv.weight": ([blk, "attn", "qkv", "kernel"], "T"),
+                "attn.qkv.bias": ([blk, "attn", "qkv", "bias"], None),
+                "attn.proj.weight": ([blk, "attn", "proj", "kernel"], "T"),
+                "attn.proj.bias": ([blk, "attn", "proj", "bias"], None),
+                "mlp.fc1.weight": ([blk, "mlp", "lin1", "kernel"], "T"),
+                "mlp.fc1.bias": ([blk, "mlp", "lin1", "bias"], None),
+                "mlp.fc2.weight": ([blk, "mlp", "lin2", "kernel"], "T"),
+                "mlp.fc2.bias": ([blk, "mlp", "lin2", "bias"], None),
+                "attn.rel_pos_h": ([blk, "attn", "rel_pos_h"], None),
+                "attn.rel_pos_w": ([blk, "attn", "rel_pos_w"], None),
+                "attn.relative_position_bias_table": (
+                    [blk, "attn", "relative_position_bias_table"], None),
+                # sampling nets: Sequential(AvgPool, LeakyReLU, Conv1x1) — only
+                # index 2 has params; torch (O,C,1,1) -> flax (1,1,C,O)
+                "attn.sampling_offsets.2.weight": (
+                    [blk, "attn", "sampling_offsets", "kernel"], "conv1x1"),
+                "attn.sampling_offsets.2.bias": (
+                    [blk, "attn", "sampling_offsets", "bias"], None),
+                "attn.sampling_scales.2.weight": (
+                    [blk, "attn", "sampling_scales", "kernel"], "conv1x1"),
+                "attn.sampling_scales.2.bias": (
+                    [blk, "attn", "sampling_scales", "bias"], None),
+                "attn.sampling_angles.2.weight": (
+                    [blk, "attn", "sampling_angles", "kernel"], "conv1x1"),
+                "attn.sampling_angles.2.bias": (
+                    [blk, "attn", "sampling_angles", "bias"], None),
+            }
+            if rest in table:
+                path, op = table[rest]
+                if op == "T":
+                    v = v.T
+                elif op == "conv1x1":
+                    v = v.transpose(2, 3, 1, 0)
+                try_set(path, v, tk)
+            elif rest.endswith("relative_position_index"):
+                loaded.append(tk)  # constant buffer, rebuilt on our side
+            else:
+                skipped.append(tk)
+            continue
+        skipped.append(tk)
+    return params, loaded, skipped
+
+
+def load_torch_vitseg_backbone(
+    state_dict: Mapping[str, Any], params: Dict[str, Any]
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """FULL load of the reference plain-ViT segmentation backbone (ED/backbone/
+    vit.py:184-388: trunk + final norm + FPN neck) into our ViTSeg params."""
+    sd = _strip_prefixes(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+         for k, v in state_dict.items()}
+    )
+    params, loaded, skipped, try_set = _make_try_set(params)
+
+    for tk, v in sd.items():
+        if tk in ("cls_token", "mask_token"):
+            skipped.append(tk)
+            continue
+        if tk in ("norm.weight", "norm.bias"):
+            # ViTSeg DOES apply the final norm before the neck (vit.py:376)
+            try_set(["norm", "scale" if tk.endswith("weight") else "bias"], v, tk)
+            continue
+        if tk == "pos_embed":
+            if "pos_embed" in params and np.shape(params["pos_embed"]) == v.shape:
+                params["pos_embed"] = v
+                loaded.append(tk)
+            else:
+                skipped.append(tk)
+            continue
+        if tk.startswith("patch_embed.proj."):
+            if tk.endswith("weight"):
+                try_set(["patch_embed", "kernel"], v.transpose(2, 3, 1, 0), tk)
+            else:
+                try_set(["patch_embed", "bias"], v, tk)
+            continue
+        if _map_vit_fpn_neck(tk, v, try_set):
+            continue
+        m = re.match(r"blocks\.(\d+)\.(.*)", tk)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            pre = f"blocks_{i}"
+            table = {
+                "norm1.weight": ([f"{pre}_norm1", "scale"], None),
+                "norm1.bias": ([f"{pre}_norm1", "bias"], None),
+                "norm2.weight": ([f"{pre}_norm2", "scale"], None),
+                "norm2.bias": ([f"{pre}_norm2", "bias"], None),
+                "attn.qkv.weight": ([f"{pre}_attn", "qkv", "kernel"], "T"),
+                "attn.qkv.bias": ([f"{pre}_attn", "qkv", "bias"], None),
+                "attn.proj.weight": ([f"{pre}_attn", "proj", "kernel"], "T"),
+                "attn.proj.bias": ([f"{pre}_attn", "proj", "bias"], None),
+                "mlp.fc1.weight": ([f"{pre}_mlp", "lin1", "kernel"], "T"),
+                "mlp.fc1.bias": ([f"{pre}_mlp", "lin1", "bias"], None),
+                "mlp.fc2.weight": ([f"{pre}_mlp", "lin2", "kernel"], "T"),
+                "mlp.fc2.bias": ([f"{pre}_mlp", "lin2", "bias"], None),
+            }
+            if rest in table:
+                path, op = table[rest]
+                try_set(path, v.T if op == "T" else v, tk)
+            else:
+                skipped.append(tk)
+            continue
+        skipped.append(tk)
+    return params, loaded, skipped
+
+
 def detect_backbone_family(sd: Mapping[str, Any]) -> str:
     """Identify which reference backbone family a state dict belongs to."""
     keys = sd.keys() if hasattr(sd, "keys") else sd
