@@ -3,12 +3,15 @@
 The reference parallelizes generation only by launching multiple script copies
 (SURVEY.md §3.1).  Here ONE process drives every local chip:
 
-  * the image worklist is round-robined across `jax.local_devices()`;
+  * images flow through ONE shared bounded work queue; each device worker
+    pulls as it finishes, so skewed per-image box counts (1..2k in DOTA)
+    balance automatically — no static assignment, stealing by construction;
   * each device gets a worker thread with its own predictor (variables placed
     on that device; jit executables cached per device);
   * a shared decode pool loads+parses images/annotations ahead of the
     workers (double-buffered host IO), and a writer pool overlaps PNG/pkl
-    output with device compute;
+    output with device compute; per-device busy time is tracked and the
+    final report includes utilization balance;
   * multi-host fleets additionally shard by `shard_index/shard_count`
     (one process per host), exactly like the single-chip driver.
 
@@ -54,6 +57,7 @@ def run_fleet(
     model_and_variables=None,
     decode_threads: int = 8,
     write_threads: int = 4,
+    stats: Optional[dict] = None,
 ) -> int:
     from PIL import Image
 
@@ -86,8 +90,8 @@ def run_fleet(
     devices = jax.local_devices()
     n_dev = len(devices)
 
-    # ---- host decode pipeline: one bounded queue per device worker ----
-    work_queues: List[queue.Queue] = [queue.Queue(maxsize=4) for _ in range(n_dev)]
+    # ---- host decode pipeline: ONE shared bounded queue, all workers pull ----
+    work_queue: queue.Queue = queue.Queue(maxsize=max(4 * n_dev, 8))
     decode_pool = ThreadPoolExecutor(max_workers=decode_threads)
     write_pool = ThreadPoolExecutor(max_workers=write_threads)
 
@@ -102,6 +106,7 @@ def run_fleet(
         return (name, image, ann)
 
     done_count = [0] * n_dev
+    busy_time = [0.0] * n_dev
     t_start = time.perf_counter()
 
     def worker(dev_idx: int, encode_batch: int = 4):
@@ -114,6 +119,7 @@ def run_fleet(
             def flush(pending):
                 # batched encoder pass (one jit call for up to encode_batch
                 # same-sized images), then per-image decode/paint/record
+                t0 = time.perf_counter()
                 groups = {}
                 for item in pending:
                     groups.setdefault(item[1].shape[:2], []).append(item)
@@ -135,11 +141,14 @@ def run_fleet(
 
                         write_pool.submit(write)
                         done_count[dev_idx] += 1
+                busy_time[dev_idx] += time.perf_counter() - t0
 
             pending: List = []
             while True:
-                item = work_queues[dev_idx].get()
+                item = work_queue.get()
                 if item is StopIteration:
+                    # propagate the sentinel so every sibling worker stops
+                    work_queue.put(StopIteration)
                     if pending:
                         flush(pending)
                     break
@@ -151,14 +160,15 @@ def run_fleet(
                     pending = []
 
     def feed():
-        futures = [
-            (i, decode_pool.submit(decode_one, i, name))
-            for i, name in enumerate(image_list)
-        ]
-        for i, fut in futures:
-            work_queues[i % n_dev].put(fut.result())
-        for q in work_queues:
-            q.put(StopIteration)
+        # futures resolve in submission order; the SHARED queue means the
+        # next free device takes the next image (skew-proof load balance)
+        futures = [decode_pool.submit(decode_one, i, name)
+                   for i, name in enumerate(image_list)]
+        for fut in futures:
+            item = fut.result()
+            if item is not None:
+                work_queue.put(item)
+        work_queue.put(StopIteration)
 
     threads = [threading.Thread(target=worker, args=(d,)) for d in range(n_dev)]
     for t in threads:
@@ -173,10 +183,20 @@ def run_fleet(
 
     total = sum(done_count)
     dt = time.perf_counter() - t_start
+    mean_busy = float(np.mean(busy_time)) if n_dev else 0.0
+    balance = (min(busy_time) / max(max(busy_time), 1e-9)) if n_dev > 1 else 1.0
     print(
         f"fleet: {total} images on {n_dev} device(s) in {dt:.1f}s "
-        f"({total / max(dt, 1e-9):.2f} img/s)"
+        f"({total / max(dt, 1e-9):.2f} img/s); per-device imgs {done_count}, "
+        f"busy balance min/max {balance:.2f}, host-IO overlap "
+        f"{mean_busy / max(dt, 1e-9):.2f}"
     )
+    if stats is not None:
+        stats.update(
+            total=total, seconds=dt, per_device=list(done_count),
+            busy_time=list(busy_time), balance=balance,
+            overlap=mean_busy / max(dt, 1e-9),
+        )
     return total
 
 

@@ -89,6 +89,9 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    # >0 = partition-free mode ("fused2"): x arrives UNPARTITIONED (B,H,W,C)
+    # and the window tiling happens inside the Pallas kernel's BlockSpecs
+    window_size: int = 0
     # sequence parallelism (global layers only; set by Block when a seq mesh
     # is configured): token rows shard over sp_axis, K/V ride the ICI ring
     sp_mesh: Optional[Any] = None
@@ -120,6 +123,24 @@ class Attention(nn.Module):
             )
         else:
             rel_pos_h = rel_pos_w = None
+
+        if self.window_size > 0 and self.use_rel_pos:
+            # partition-free windowed attention (kernels/fused_window_block):
+            # window tiles are BlockSpec slices of the qkv map, the output
+            # lands unpartitioned, and qkv/proj run on the unpadded 4096
+            # tokens instead of the partitioned path's 4900
+            from samrs_tpu.kernels.fused_window_block import (
+                window_attention_partition_free,
+            )
+
+            ws = self.window_size
+            Rh = get_rel_pos(ws, ws, rel_pos_h)
+            Rw = get_rel_pos(ws, ws, rel_pos_w)
+            out = window_attention_partition_free(
+                qkv_raw, Rh, Rw, ws, scale, self.num_heads,
+                force_xla=self.is_initializing(),
+            )
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
 
         if (
             self.use_flash
@@ -210,8 +231,17 @@ class Block(nn.Module):
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         H, W = x.shape[1], x.shape[2]
-        if self.window_size > 0:
+        # partition-free mode: the fused2 kernel windows via BlockSpecs, so
+        # the token map stays (B, H, W, C) end to end (no partition copies)
+        partition_free = (
+            self.window_size > 0
+            and self.window_attn_impl == "fused2"
+            and self.use_rel_pos
+        )
+        if self.window_size > 0 and not partition_free:
             x, pad_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        elif partition_free:
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
@@ -224,11 +254,12 @@ class Block(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             window_attn_impl=self.window_attn_impl,
+            window_size=self.window_size if partition_free else 0,
             sp_mesh=self.sp_mesh if self.window_size == 0 else None,
             sp_axis=self.sp_axis,
             name="attn",
         )(x)
-        if self.window_size > 0:
+        if self.window_size > 0 and not partition_free:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)

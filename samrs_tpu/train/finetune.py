@@ -45,15 +45,53 @@ FINETUNE_DATASETS = {
 }
 
 
+def _interp_pos_embed_tree(enc, target):
+    """Cross-resolution pos-embed surgery on a grafted encoder tree: any
+    `pos_embed` leaf whose token count differs from the target model's is
+    bicubic-resized on the (g, g) grid with TORCH kernel semantics — the
+    exact equivalent of the reference's checkpoint interpolation
+    (ED/main_finetune.py:290-332: F.interpolate mode='bicubic',
+    align_corners=False)."""
+    from samrs_tpu.nn.interpolate import resize_bicubic_torch
+
+    if not isinstance(enc, dict):
+        return enc
+    out = {}
+    for k, v in enc.items():
+        t = target.get(k) if isinstance(target, dict) else None
+        if isinstance(v, dict):
+            out[k] = _interp_pos_embed_tree(v, t if isinstance(t, dict) else {})
+            continue
+        if (
+            k == "pos_embed" and t is not None
+            and tuple(np.shape(v)) != tuple(np.shape(t)) and np.ndim(v) == 3
+        ):
+            g_old = int(round(v.shape[1] ** 0.5))
+            g_new = int(round(np.shape(t)[1] ** 0.5))
+            if g_old * g_old == v.shape[1] and g_new * g_new == np.shape(t)[1]:
+                grid = jnp.asarray(v, jnp.float32).reshape(1, g_old, g_old, -1)
+                grid = jnp.transpose(grid, (0, 3, 1, 2))  # NCHW for the resize
+                grid = resize_bicubic_torch(grid, (g_new, g_new))
+                v = np.asarray(
+                    jnp.transpose(grid, (0, 2, 3, 1)).reshape(1, g_new * g_new, -1)
+                )
+                logger.info("pos_embed interpolated %dx%d -> %dx%d", g_old, g_old,
+                            g_new, g_new)
+        out[k] = v
+    return out
+
+
 def load_pretrained_encoder(params, ckpt_path: str, encoder_key: str = "encoder"):
     """Graft a SEP encoder-only checkpoint into a finetune param tree.
 
-    Equivalent of main_finetune.py:290-361 minus the pos-embed surgery (our
-    trunks resize pos-embed dynamically at apply time)."""
+    Equivalent of main_finetune.py:290-361: pos-embed is re-interpolated
+    (torch-exact bicubic) when pretrain and finetune grids differ; RVSA
+    window-local rel-pos tables are resolution-independent and load as-is
+    (the reference's rel-pos branch is commented out)."""
     from flax import serialization
 
     tree = load_checkpoint(ckpt_path)
-    enc = tree["params"][encoder_key]
+    enc = _interp_pos_embed_tree(tree["params"][encoder_key], params[encoder_key])
     enc = serialization.from_state_dict(params[encoder_key], enc)
     new_params = dict(params)
     new_params[encoder_key] = enc
