@@ -151,6 +151,46 @@ def buckets_main(chunk: int = 256, iters: int = 5) -> None:
     }))
 
 
+def amg_main(variant: str = "vit_h", points_per_side: int = 32, iters: int = 3) -> None:
+    """Automatic mask generation throughput: full AMG pipeline (encode +
+    points_per_side^2 point prompts in bucketed batches + stability/NMS/RLE
+    host postprocessing) on one 1024x1024 image."""
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.sam.automatic_mask_generator import SamAutomaticMaskGenerator
+    from samrs_tpu.sam.build import init_sam_variables
+    from samrs_tpu.sam.predictor import SamPredictor
+    from samrs_tpu.sam.sam import Sam
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = sam_config(
+        variant,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_flash_attention=on_tpu,
+    )
+    model = Sam(cfg)
+    variables = init_sam_variables(model, seed=0)
+    predictor = SamPredictor(model, variables)
+    amg = SamAutomaticMaskGenerator(
+        predictor, points_per_side=points_per_side,
+        pred_iou_thresh=0.5, stability_score_thresh=0.6,  # random-weight-friendly
+    )
+    rng = np.random.default_rng(0)
+    img = (rng.random((1024, 1024, 3)) * 255).astype(np.uint8)
+
+    anns = amg.generate(img)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        anns = amg.generate(img)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"SAM {variant} automatic mask generation sec/image "
+                  f"({points_per_side}^2 points)",
+        "value": round(dt, 3),
+        "unit": "s/img",
+        "masks": len(anns),
+    }))
+
+
 def torch_anchor_main(variant: str = "vit_b", n_boxes: int = 20, iters: int = 2) -> None:
     """Measured same-host anchor for vs_baseline: the REFERENCE torch SAM
     (fp32 eager, 1-image encode + one 20-box decode batch — the
@@ -296,6 +336,8 @@ if __name__ == "__main__":
         buckets_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--torch-anchor":
         torch_anchor_main(*sys.argv[2:3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--amg":
+        amg_main(*sys.argv[2:3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--fast":
         main("vit_b", batch=1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--run":

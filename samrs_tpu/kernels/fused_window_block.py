@@ -111,41 +111,53 @@ def window_block_xla(qkv_raw, Rh, Rw, ws, scale, num_heads):
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
-            *, scale, nH, hd, ws):
+            *, scale, nH, hd, ws, nww):
+    # one program = one ROW of nww windows (Mosaic: block dim -2 must be a
+    # multiple of 8 or the full array dim, so windows along W are carved by
+    # static in-kernel slices rather than BlockSpec columns)
     n = ws * ws
     C = nH * hd
-    q_all = q_ref[0].reshape(n, C)       # (ws,ws,C) -> (N, C) sublane collapse
-    k_all = k_ref[0].reshape(n, C)
-    v_all = v_ref[0].reshape(n, C)
-    rh_all = rh_ref[0].reshape(n, nH * ws)
-    rw_all = rw_ref[0].reshape(n, nH * ws)
+    q_row = q_ref[0]                     # (ws, Wp, C)
+    k_row = k_ref[0]
+    v_row = v_ref[0]
+    rh_row = rh_ref[0]                   # (ws, Wp, nH*ws)
+    rw_row = rw_ref[0]
     eu = eu_ref[...]                     # (N, ws)
     ev = ev_ref[...]
-    outs = []
-    for h in range(nH):  # static unroll; all slices at static lane offsets
-        # augmented-K: one matmul carries QK^T and both rel-pos biases
-        q_aug = jnp.concatenate([
-            q_all[:, h * hd:(h + 1) * hd] * scale,
-            rh_all[:, h * ws:(h + 1) * ws],
-            rw_all[:, h * ws:(h + 1) * ws],
-        ], axis=-1)                       # (N, hd + 2ws)
-        k_aug = jnp.concatenate([
-            k_all[:, h * hd:(h + 1) * hd], eu, ev,
-        ], axis=-1)                       # (N, hd + 2ws)
-        s = jax.lax.dot_general(
-            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_all.dtype), v_all[:, h * hd:(h + 1) * hd],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o.astype(o_ref.dtype))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).reshape(ws, ws, C)
+    row_outs = []
+    for j in range(nww):  # static unroll over the row's windows
+        sl = slice(j * ws, (j + 1) * ws)
+        q_all = q_row[:, sl, :].reshape(n, C)   # sublane-collapse reshape
+        k_all = k_row[:, sl, :].reshape(n, C)
+        v_all = v_row[:, sl, :].reshape(n, C)
+        rh_all = rh_row[:, sl, :].reshape(n, nH * ws)
+        rw_all = rw_row[:, sl, :].reshape(n, nH * ws)
+        outs = []
+        for h in range(nH):  # static unroll; all slices at static lane offsets
+            # augmented-K: one matmul carries QK^T and both rel-pos biases
+            q_aug = jnp.concatenate([
+                q_all[:, h * hd:(h + 1) * hd] * scale,
+                rh_all[:, h * ws:(h + 1) * ws],
+                rw_all[:, h * ws:(h + 1) * ws],
+            ], axis=-1)                   # (N, hd + 2ws)
+            k_aug = jnp.concatenate([
+                k_all[:, h * hd:(h + 1) * hd], eu, ev,
+            ], axis=-1)                   # (N, hd + 2ws)
+            s = jax.lax.dot_general(
+                q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_all.dtype), v_all[:, h * hd:(h + 1) * hd],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(o.astype(o_ref.dtype))
+        row_outs.append(jnp.concatenate(outs, axis=-1).reshape(ws, ws, C))
+    o_ref[0] = jnp.concatenate(row_outs, axis=1)  # (ws, Wp, C)
 
 
 def _pallas(qkv_raw, Rh, Rw, ws, scale, num_heads, interpret=False):
@@ -167,25 +179,25 @@ def _pallas(qkv_raw, Rh, Rw, ws, scale, num_heads, interpret=False):
     rel_w = jnp.pad(rel_w, pad)
     eu, ev = _onehots(ws, cdt)
 
-    kernel = functools.partial(_kernel, scale=scale, nH=nH, hd=hd, ws=ws)
+    kernel = functools.partial(_kernel, scale=scale, nH=nH, hd=hd, ws=ws, nww=nww)
     out = pl.pallas_call(
         kernel,
-        grid=(B, nwh, nww),
+        grid=(B, nwh),
         in_specs=[
-            pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 1),
+            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 2),
+            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 2),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, ws, nH * ws), lambda b, i, j: (b, i, j, 0),
+            pl.BlockSpec((1, ws, Wp, nH * ws), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, ws, nH * ws), lambda b, i, j: (b, i, j, 0),
+            pl.BlockSpec((1, ws, Wp, nH * ws), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ws), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ws), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+        out_specs=pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), cdt),
         cost_estimate=pl.CostEstimate(
