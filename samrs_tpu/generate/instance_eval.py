@@ -146,6 +146,7 @@ def run_prompt_eval(
     names: Sequence[str],
     prompt: str = "hbox",
     json_dir: Optional[str] = None,
+    vis_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Driver body: evaluate `prompt` over the named HRSC images."""
     from PIL import Image
@@ -167,6 +168,17 @@ def run_prompt_eval(
         land = np.asarray(Image.open(os.path.join(landmask_dir, name + ".png")).convert("RGB"))
         gt = gt_masks_from_landmask(land, ann.colors)
         pred, scores = predict_instances(predictor, image, ann, prompt)
+        if vis_dir:
+            # per-instance overlay dump (the reference's matplotlib figures,
+            # main_sam_hbox_mask_instance.py:305-339)
+            from samrs_tpu.tools.visualize import overlay_instances
+
+            os.makedirs(vis_dir, exist_ok=True)
+            ov = overlay_instances(image, pred, boxes=ann.hboxes,
+                                   points=ann.points)
+            Image.fromarray(ov).save(
+                os.path.join(vis_dir, f"out_{prompt}_prompt_{name}.png")
+            )
         all_pred.append(pred)
         all_gt.append(gt)
         all_scores.append(scores)
@@ -197,6 +209,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--ann-dir", required=True)
     p.add_argument("--landmask-dir", required=True)
     p.add_argument("--json-dir", default=None)
+    p.add_argument("--vis-dir", default=None, help="per-image overlay PNG dump")
     a = p.parse_args(argv)
     model, variables = build_sam(a.sam_variant, checkpoint=a.sam_checkpoint)
     predictor = SamPredictor(model, variables)
@@ -204,7 +217,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         os.path.splitext(f)[0] for f in os.listdir(a.ann_dir) if f.endswith(".xml")
     )
     run_prompt_eval(
-        predictor, a.image_dir, a.ann_dir, a.landmask_dir, names, a.prompt, a.json_dir
+        predictor, a.image_dir, a.ann_dir, a.landmask_dir, names, a.prompt,
+        a.json_dir, a.vis_dir,
     )
 
 

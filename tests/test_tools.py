@@ -127,3 +127,22 @@ def test_visualize_cli(tmp_path):
           "--save-dir", str(tmp_path / "out")])
     out = np.asarray(Image.open(tmp_path / "out" / "x.png"))
     assert tuple(out[0, 0]) == (102, 102, 102)  # 0.4 * white over black
+
+
+def test_overlay_instances():
+    """Prompt-eval overlay twin (main_sam_hbox_mask_instance.py:305-339)."""
+    import numpy as np
+    from samrs_tpu.tools.visualize import overlay_instances
+
+    img = np.zeros((20, 30, 3), np.uint8)
+    masks = np.zeros((2, 20, 30), np.uint8)
+    masks[0, 2:8, 3:9] = 1
+    masks[1, 10:15, 12:20] = 1
+    out = overlay_instances(img, masks, boxes=np.array([[3, 2, 8, 7]]),
+                            points=np.array([[5, 4]]))
+    assert out.shape == (20, 30, 3) and out.dtype == np.uint8
+    assert (out[2, 8] == 255).all()            # white box edge corner
+    assert (out[7, 3:9] == 255).all()          # bottom edge (clear of marker)
+    assert tuple(out[4, 5]) == (0, 255, 0)     # green point marker
+    assert out[12, 15].sum() > 0               # colored mask region
+    assert out[0, 0].sum() == 0                # background untouched
