@@ -191,6 +191,80 @@ def amg_main(variant: str = "vit_h", points_per_side: int = 32, iters: int = 3) 
     }))
 
 
+def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int = 64) -> None:
+    """Fleet driver throughput on synthetic DIOR-style data: images + XML
+    annotations on disk -> shared-queue device workers -> PNG/pkl writers.
+    Measures the full host-IO-overlapped pipeline (BASELINE.md's <2h/105k
+    north-star path), including the utilization balance stats."""
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    from samrs_tpu.core.config import GenerateConfig, sam_config
+    from samrs_tpu.generate.fleet import run_fleet
+    from samrs_tpu.sam.build import init_sam_variables
+    from samrs_tpu.sam.sam import Sam
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = sam_config(
+        variant,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_flash_attention=on_tpu,
+    )
+    model = Sam(cfg)
+    variables = init_sam_variables(model, seed=0)
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        img_dir = os.path.join(td, "img")
+        ann_dir = os.path.join(td, "ann")
+        os.makedirs(img_dir)
+        os.makedirs(ann_dir)
+        size = 1024
+        base = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        for i in range(n_images):
+            Image.fromarray(np.roll(base, i, axis=0)).save(
+                os.path.join(img_dir, f"b{i:03d}.png")
+            )
+            objs = []
+            for _ in range(boxes_per_image):
+                x0 = int(rng.integers(0, size - 80)); y0 = int(rng.integers(0, size - 80))
+                w = int(rng.integers(20, 80)); h = int(rng.integers(20, 80))
+                objs.append(
+                    f"<object><name>ship</name><bndbox><xmin>{x0}</xmin>"
+                    f"<ymin>{y0}</ymin><xmax>{x0+w}</xmax><ymax>{y0+h}</ymax>"
+                    f"</bndbox></object>"
+                )
+            with open(os.path.join(ann_dir, f"b{i:03d}.xml"), "w") as f:
+                f.write("<annotation>" + "".join(objs) + "</annotation>")
+
+        gcfg = GenerateConfig(
+            dataset="dior", image_dir=img_dir, ann_dir=ann_dir,
+            save_dir=os.path.join(td, "out"),
+        )
+        # warmup pass compiles the per-device executables
+        run_fleet(gcfg, model_and_variables=(model, variables))
+        stats: dict = {}
+        t0 = time.perf_counter()
+        gcfg2 = GenerateConfig(
+            dataset="dior", image_dir=img_dir, ann_dir=ann_dir,
+            save_dir=os.path.join(td, "out2"),
+        )
+        run_fleet(gcfg2, model_and_variables=(model, variables), stats=stats)
+        dt = time.perf_counter() - t0
+    rate = n_images / dt
+    print(json.dumps({
+        "metric": f"fleet generation images/sec ({variant}, {boxes_per_image}"
+                  f" boxes/img, {len(jax.devices())} device(s))",
+        "value": round(rate, 3),
+        "unit": "img/s",
+        "balance": round(stats.get("balance", 1.0), 3),
+        "host_io_overlap": round(stats.get("overlap", 0.0), 3),
+        "projected_hours_105k": round(105090 / max(rate, 1e-9) / 3600, 2),
+    }))
+
+
 def torch_anchor_main(variant: str = "vit_b", n_boxes: int = 20, iters: int = 2) -> None:
     """Measured same-host anchor for vs_baseline: the REFERENCE torch SAM
     (fp32 eager, 1-image encode + one 20-box decode batch — the
@@ -338,6 +412,8 @@ if __name__ == "__main__":
         torch_anchor_main(*sys.argv[2:3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--amg":
         amg_main(*sys.argv[2:3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--fleet":
+        fleet_main(*sys.argv[2:3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--fast":
         main("vit_b", batch=1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--run":

@@ -111,29 +111,30 @@ def window_block_xla(qkv_raw, Rh, Rw, ws, scale, num_heads):
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
-            *, scale, nH, hd, ws, nww):
-    # one program = one ROW of nww windows (Mosaic: block dim -2 must be a
-    # multiple of 8 or the full array dim, so windows along W are carved by
-    # static in-kernel slices rather than BlockSpec columns)
+            *, scale, nH, hd, ws, nww, gh):
+    # one program = one ROW of nww windows for ONE head GROUP of gh heads
+    # (Mosaic: block dim -2 must be a multiple of 8 or the full array dim, so
+    # windows along W are carved by static in-kernel slices; heads are
+    # contiguous lanes so head groups block the lane dim, bounding VMEM; the
+    # rel tables arrive pre-packed per group with 128-aligned lanes)
     n = ws * ws
-    C = nH * hd
-    q_row = q_ref[0]                     # (ws, Wp, C)
+    q_row = q_ref[0]                     # (ws, Wp, gh*hd)
     k_row = k_ref[0]
     v_row = v_ref[0]
-    rh_row = rh_ref[0]                   # (ws, Wp, nH*ws)
+    rh_row = rh_ref[0]                   # (ws, Wp, L) — this group's lanes
     rw_row = rw_ref[0]
     eu = eu_ref[...]                     # (N, ws)
     ev = ev_ref[...]
     row_outs = []
     for j in range(nww):  # static unroll over the row's windows
         sl = slice(j * ws, (j + 1) * ws)
-        q_all = q_row[:, sl, :].reshape(n, C)   # sublane-collapse reshape
-        k_all = k_row[:, sl, :].reshape(n, C)
-        v_all = v_row[:, sl, :].reshape(n, C)
-        rh_all = rh_row[:, sl, :].reshape(n, nH * ws)
-        rw_all = rw_row[:, sl, :].reshape(n, nH * ws)
+        q_all = q_row[:, sl, :].reshape(n, gh * hd)  # sublane-collapse reshape
+        k_all = k_row[:, sl, :].reshape(n, gh * hd)
+        v_all = v_row[:, sl, :].reshape(n, gh * hd)
+        rh_all = rh_row[:, sl, :].reshape(n, rh_row.shape[-1])
+        rw_all = rw_row[:, sl, :].reshape(n, rw_row.shape[-1])
         outs = []
-        for h in range(nH):  # static unroll; all slices at static lane offsets
+        for h in range(gh):  # static unroll; all slices at static lane offsets
             # augmented-K: one matmul carries QK^T and both rel-pos biases
             q_aug = jnp.concatenate([
                 q_all[:, h * hd:(h + 1) * hd] * scale,
@@ -156,8 +157,8 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
                 preferred_element_type=jnp.float32,
             )
             outs.append(o.astype(o_ref.dtype))
-        row_outs.append(jnp.concatenate(outs, axis=-1).reshape(ws, ws, C))
-    o_ref[0] = jnp.concatenate(row_outs, axis=1)  # (ws, Wp, C)
+        row_outs.append(jnp.concatenate(outs, axis=-1).reshape(ws, ws, gh * hd))
+    o_ref[0] = jnp.concatenate(row_outs, axis=1)  # (ws, Wp, gh*hd)
 
 
 def _pallas(qkv_raw, Rh, Rw, ws, scale, num_heads, interpret=False):
@@ -179,25 +180,58 @@ def _pallas(qkv_raw, Rh, Rw, ws, scale, num_heads, interpret=False):
     rel_w = jnp.pad(rel_w, pad)
     eu, ev = _onehots(ws, cdt)
 
-    kernel = functools.partial(_kernel, scale=scale, nH=nH, hd=hd, ws=ws, nww=nww)
+    # head-group split bounds per-program VMEM (q/k/v/out row blocks at
+    # gh*hd lanes each); lane blocks must be %128 or the full dim
+    dsize = np.dtype(cdt).itemsize
+    n_groups = 1
+    for cand in (1, 2, 4, 8, 16):
+        if nH % cand:
+            continue
+        gh_c = nH // cand
+        if (gh_c * hd) % 128 != 0 and gh_c * hd != C:
+            continue
+        n_groups = cand
+        L_c = -(-gh_c * ws // 128) * 128
+        vm = (4 * gh_c * hd + 2 * L_c) * ws * Wp * dsize
+        if 2 * vm < 10 * 2**20:  # double-buffered working set < 10MB
+            break
+    gh = nH // n_groups
+    gC = gh * hd
+    # rel tables packed per head group, lanes padded to a 128 multiple so
+    # each group's slice is a legal lane block
+    L = -(-gh * ws // 128) * 128
+    def pack(rel):
+        r = rel.reshape(B, Hp, Wp, n_groups, gh * ws)
+        r = jnp.pad(r, ((0, 0),) * 4 + ((0, L - gh * ws),))
+        return r.reshape(B, Hp, Wp, n_groups * L)
+    rel_h = pack(rel_h)
+    rel_w = pack(rel_w)
+
+    kernel = functools.partial(
+        _kernel, scale=scale, nH=nH, hd=hd, ws=ws, nww=nww, gh=gh
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(B, nwh),
+        grid=(B, nwh, n_groups),
         in_specs=[
-            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 0),
+            # q/k/v head-group lane blocks of the fused qkv map: with lane
+            # block gC, q group g is block g, k group g is block n_groups + g
+            pl.BlockSpec((1, ws, Wp, gC), lambda b, i, g: (b, i, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 1),
+            pl.BlockSpec((1, ws, Wp, gC),
+                         lambda b, i, g, _ng=n_groups: (b, i, 0, _ng + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 2),
+            pl.BlockSpec((1, ws, Wp, gC),
+                         lambda b, i, g, _ng=n_groups: (b, i, 0, 2 * _ng + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, Wp, nH * ws), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, ws, Wp, L), lambda b, i, g: (b, i, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, Wp, nH * ws), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, ws, Wp, L), lambda b, i, g: (b, i, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ws), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ws), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda b, i, g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda b, i, g: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, Wp, C), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, ws, Wp, gC), lambda b, i, g: (b, i, 0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), cdt),
         cost_estimate=pl.CostEstimate(

@@ -44,9 +44,13 @@ def test_interpolate_pos_embed():
 
 
 def test_load_mae_into_rvsa():
+    # use_abs_pos_emb=True opts back into the pos-embed path to exercise the
+    # loader's interpolation; the real RVSA builders ship WITHOUT abs pos
+    # embed (vit_win_rvsa_v3_wsz7.py:819-881 use_abs_pos_emb=False), where
+    # the MAE checkpoint's pos_embed is simply dropped
     model = vit_b_rvsa(
         image_size=64, embed_dim=32, depth=2, num_heads=2, window_size=4,
-        out_indices=(0, 0, 1, 1), interval=2,
+        out_indices=(0, 0, 1, 1), interval=2, use_abs_pos_emb=True,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init(
