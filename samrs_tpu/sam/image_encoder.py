@@ -107,9 +107,8 @@ class Attention(nn.Module):
         # layout, so the (B, N, 3C) view below is a bitcast — without this the
         # conv-style lowering picks a {2,0,1} layout and a 13 ms/step copy
         # appears in front of the Pallas fused-attention call (B=4 ViT-H trace)
-        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(
-            x.reshape(-1, x.shape[-1])
-        ).reshape(B, H, W, 3 * self.dim)
+        qkv_mod = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
+        qkv_raw = qkv_mod(x.reshape(-1, x.shape[-1])).reshape(B, H, W, 3 * self.dim)
 
         if self.use_rel_pos:
             assert self.input_size is not None
@@ -136,9 +135,15 @@ class Attention(nn.Module):
             ws = self.window_size
             Rh = get_rel_pos(ws, ws, rel_pos_h)
             Rw = get_rel_pos(ws, ws, rel_pos_w)
+            # pad positions must carry the qkv BIAS (reference pads x before
+            # its qkv projection); qkv_mod(0) == bias row
+            pad_fill = (
+                qkv_mod(jnp.zeros((1, x.shape[-1]), self.dtype))[0]
+                if (H % ws or W % ws) and self.qkv_bias else None
+            )
             out = window_attention_partition_free(
                 qkv_raw, Rh, Rw, ws, scale, self.num_heads,
-                force_xla=self.is_initializing(),
+                force_xla=self.is_initializing(), pad_fill=pad_fill,
             )
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
 

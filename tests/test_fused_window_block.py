@@ -58,6 +58,45 @@ def test_pallas_interpret_matches_oracle(hw):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
+def test_bias_pad_fill_matches_pad_before_qkv():
+    """Nonzero qkv bias: the default encoder path pads x BEFORE the qkv
+    projection, so pad tokens carry k = v = bias.  The partition-free path
+    pads the qkv OUTPUT and must bias-fill pad positions to agree (zero-fill
+    only matches on zero-bias random init)."""
+    B, H, W, C, nH, ws = 2, 20, 20, 64, 4, 7
+    rng = np.random.default_rng(11)
+    hd = C // nH
+    scale = hd**-0.5
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    Wq = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.1)
+    bq = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32))
+    Rh = jnp.asarray(rng.normal(size=(ws, ws, hd)).astype(np.float32) * 0.1)
+    Rw = jnp.asarray(rng.normal(size=(ws, ws, hd)).astype(np.float32) * 0.1)
+
+    # reference composition: partition x (zero pad), then qkv per window
+    wins, pad_hw = window_partition(x, ws)
+    nW = wins.shape[0]
+    wqkv = wins.reshape(nW, ws * ws, C) @ Wq + bq
+    q4 = wqkv[..., :C].reshape(nW, ws * ws, nH, hd).reshape(nW, ws, ws, nH, hd)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4, Rh).reshape(nW, ws * ws, nH * ws)
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4, Rw).reshape(nW, ws * ws, nH * ws)
+    att = attention_qkv_xla(wqkv, rel_h, rel_w, scale, nH)
+    ref = window_unpartition(att.reshape(nW, ws, ws, C), ws, pad_hw, (H, W))
+
+    # partition-free: qkv on the unpadded map, bias-filled pad
+    qkv_raw = (x.reshape(-1, C) @ Wq + bq).reshape(B, H, W, 3 * C)
+    for use_interp in (False, True):  # oracle and interpret-mode kernel
+        got = window_attention_partition_free(
+            qkv_raw, Rh, Rw, ws, scale, nH, interpret=use_interp, pad_fill=bq
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+    # and WITHOUT the fill it must NOT agree (guards the semantics)
+    wrong = window_attention_partition_free(qkv_raw, Rh, Rw, ws, scale, nH)
+    assert np.abs(np.asarray(wrong) - np.asarray(ref)).max() > 1e-3
+
+
 def test_backward_is_xla_composition():
     B, H, W, C, nH, ws = 1, 14, 14, 32, 2, 7
     qkv, Rh, Rw, hd = _mk(B, H, W, C, nH, ws, seed=3)
