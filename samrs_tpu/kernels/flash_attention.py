@@ -135,6 +135,165 @@ def _bwd(scale, use_pallas, interpret, res, g):
 _attention_relpos.defvjp(_fwd, _bwd)
 
 
+def attention_qkv_relpos_xla(qkv_raw, Rh, Rw, hw, scale, num_heads):
+    """Oracle for the qkv-direct global kernel. qkv_raw (B, N, 3C) -> (B, N, C)."""
+    H, W = hw
+    B, N, threeC = qkv_raw.shape
+    C = threeC // 3
+    nH = num_heads
+    hd = C // nH
+    qkv = qkv_raw.reshape(B, N, 3, nH, hd)
+    qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nH, N, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    r_q = q.reshape(B * nH, H, W, hd)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q.astype(jnp.float32),
+                       Rh.astype(jnp.float32)).reshape(B * nH, N, H)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q.astype(jnp.float32),
+                       Rw.astype(jnp.float32)).reshape(B * nH, N, W)
+    out = attention_relpos_xla(q, k, v, rel_h, rel_w, scale)  # (B*nH, N, hd)
+    out = out.reshape(B, nH, N, hd).transpose(0, 2, 1, 3).reshape(B, N, C)
+    return out.astype(qkv_raw.dtype)
+
+
+def _qkv_flash_kernel(qt_ref, kv_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
+                      *, scale, nH, hd, kh, kw):
+    C = nH * hd
+    qt = qt_ref[0]     # (TQ, 3C) — only the q lanes are used
+    kv = kv_ref[0]     # (N, 3C) — whole sequence, resident per batch row
+    rh = rh_ref[0]     # (TQ, nH*kh)
+    rw = rw_ref[0]
+    eu = eu_ref[...]   # (N, kh) one-hot expansions
+    ev = ev_ref[...]
+    outs = []
+    for h in range(nH):  # static unroll; all slices at static lane offsets
+        q = qt[:, h * hd:(h + 1) * hd] * scale
+        k = kv[:, C + h * hd:C + (h + 1) * hd]
+        v = kv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, N)
+        # decomposed rel-pos: two skinny matmuls accumulated into the logits
+        # (same flops as the augmented-K form, no lane concat / qp buffer)
+        s += jax.lax.dot_general(
+            rh[:, h * kh:(h + 1) * kh], eu,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s += jax.lax.dot_general(
+            rw[:, h * kw:(h + 1) * kw], ev,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)  # (TQ, C)
+
+
+def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False):
+    H, W = hw
+    B, N, threeC = qkv_raw.shape
+    C = threeC // 3
+    nH = num_heads
+    hd = C // nH
+    kh, kw = H, W
+    assert N == H * W and N % TQ == 0
+    dt = qkv_raw.dtype
+    # per-token rel projections for ALL heads, packed along lanes
+    q4 = qkv_raw[..., :C].reshape(B, H, W, nH, hd)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4, Rh.astype(dt),
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4, Rw.astype(dt),
+                       preferred_element_type=jnp.float32)
+    rel_h = rel_h.reshape(B, N, nH * kh).astype(dt)
+    rel_w = rel_w.reshape(B, N, nH * kw).astype(dt)
+    eu, ew = onehot_expansions(kh, kw, dt)
+    kernel = functools.partial(_qkv_flash_kernel, scale=scale, nH=nH, hd=hd,
+                               kh=kh, kw=kw)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // TQ),
+        in_specs=[
+            pl.BlockSpec((1, TQ, threeC), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, threeC), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, nH * kh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, nH * kw), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, kh), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, kw), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            # the resident (N, 3C) kv block alone is ~31 MB at ViT-H
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nH * N * N * (hd + kh + kw + hd),
+            bytes_accessed=B * N * threeC * 2 * 2,
+            transcendentals=B * nH * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_raw, qkv_raw, rel_h, rel_w, eu, ew)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas, interpret):
+    if use_pallas:
+        return _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret)
+    return attention_qkv_relpos_xla(qkv_raw, Rh, Rw, hw, scale, num_heads)
+
+
+def _qkv_fwd(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas, interpret):
+    out = _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas,
+                         interpret)
+    return out, (qkv_raw, Rh, Rw)
+
+
+def _qkv_bwd(hw, scale, num_heads, use_pallas, interpret, res, g):
+    qkv_raw, Rh, Rw = res
+    _, vjp = jax.vjp(
+        lambda *a: attention_qkv_relpos_xla(*a, hw, scale, num_heads),
+        qkv_raw, Rh, Rw,
+    )
+    return vjp(g.astype(qkv_raw.dtype))
+
+
+_qkv_attention.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+def flash_attention_qkv_relpos(
+    qkv_raw: jnp.ndarray,  # (B, N, 3C) — the qkv Dense output, untransposed
+    Rh: jnp.ndarray,       # (H, H, hd) gathered rel-pos table
+    Rw: jnp.ndarray,
+    hw: Tuple[int, int],
+    scale: float,
+    num_heads: int,
+    force_xla: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transpose-free global attention: heads are in-kernel static lane
+    slices of the raw qkv tensor; output is (B, N, C), proj-ready.  Replaces
+    the (B,N,3,nH,hd)->(3,B*nH,N,hd) layout copies of the split-head path
+    (~1.3 ms/layer on the ViT-H globals, B=4)."""
+    B, N, _ = qkv_raw.shape
+    use_pallas = (
+        not force_xla and jax.default_backend() == "tpu" and N % TQ == 0
+    ) or (interpret and not force_xla)
+    return _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas,
+                          interpret)
+
+
 def flash_attention_relpos(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -75,6 +75,29 @@ def add_decomposed_rel_pos(
     return attn.reshape(B, q_h * q_w, k_h * k_w)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel/bias, fp32, lecun_normal/zeros)
+    WITHOUT applying them — for kernels that consume raw weights.  Named
+    "qkv"/"proj" this lands on exactly the same param tree as nn.Dense, so
+    checkpoints port between impls unchanged."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed relative positions.
 
@@ -102,6 +125,31 @@ class Attention(nn.Module):
         B, H, W, _ = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+
+        if self.window_size > 0 and self.use_rel_pos and self.window_attn_impl == "block":
+            # whole-layer kernel: qkv + window attention + proj in one Pallas
+            # call (kernels/fused_window_layer).  Params are declared raw but
+            # mirror nn.Dense's tree ({qkv,proj}/{kernel,bias}) exactly.
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim), jnp.float32,
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim), jnp.float32,
+            )
+            Wqkv, bqkv = _DenseParams(
+                self.dim, 3 * self.dim, self.qkv_bias, name="qkv")()
+            Wproj, bproj = _DenseParams(self.dim, self.dim, True, name="proj")()
+            ws = self.window_size
+            from samrs_tpu.kernels.fused_window_layer import window_layer_attention
+
+            return window_layer_attention(
+                x, Wqkv, bqkv, Wproj, bproj,
+                get_rel_pos(ws, ws, rel_pos_h), get_rel_pos(ws, ws, rel_pos_w),
+                ws, scale, self.num_heads, dtype=self.dtype,
+                force_xla=self.is_initializing(),
+            )
 
         # 2-D input to the qkv projection: XLA emits the plain row-major dot
         # layout, so the (B, N, 3C) view below is a bitcast — without this the
@@ -162,6 +210,27 @@ class Attention(nn.Module):
             Rh = get_rel_pos(H, H, rel_pos_h)
             Rw = get_rel_pos(W, W, rel_pos_w)
             out = attention_qkv_fused(
+                qkv_raw.reshape(B, H * W, 3 * self.dim), Rh, Rw, (H, W), scale,
+                self.num_heads,
+            )
+            out = out.reshape(B, H, W, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
+
+        if (
+            self.use_flash
+            and self.use_rel_pos
+            and not self.is_initializing()
+            and self.sp_mesh is None
+            and self.window_attn_impl != "xla"
+            and H * W >= 2048
+        ):
+            # global layers, transpose-free: heads are in-kernel lane slices
+            # of the raw qkv tensor; output lands (B, N, C) proj-ready
+            from samrs_tpu.kernels.flash_attention import flash_attention_qkv_relpos
+
+            Rh = get_rel_pos(H, H, rel_pos_h)
+            Rw = get_rel_pos(W, W, rel_pos_w)
+            out = flash_attention_qkv_relpos(
                 qkv_raw.reshape(B, H * W, 3 * self.dim), Rh, Rw, (H, W), scale,
                 self.num_heads,
             )
@@ -240,7 +309,7 @@ class Block(nn.Module):
         # the token map stays (B, H, W, C) end to end (no partition copies)
         partition_free = (
             self.window_size > 0
-            and self.window_attn_impl == "fused2"
+            and self.window_attn_impl in ("fused2", "block")
             and self.use_rel_pos
         )
         if self.window_size > 0 and not partition_free:

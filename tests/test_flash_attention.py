@@ -76,3 +76,67 @@ def test_get_rel_pos_interpolation():
     assert out_same.shape == (8, 8, 4)
     out_resized = get_rel_pos(4, 4, rel)  # needs length 7 -> interpolates
     assert out_resized.shape == (4, 4, 4)
+
+
+# ---- qkv-direct (transpose-free) global kernel ------------------------------
+
+def _make_qkv(B, H, W, C, nH, seed=0):
+    rng = np.random.default_rng(seed)
+    hd = C // nH
+    qkv_raw = jnp.asarray(rng.normal(size=(B, H * W, 3 * C)), jnp.float32)
+    Rh = jnp.asarray(rng.normal(size=(H, H, hd)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.normal(size=(W, W, hd)) * 0.1, jnp.float32)
+    return qkv_raw, Rh, Rw, hd
+
+
+def test_qkv_oracle_matches_split_head_path():
+    """attention_qkv_relpos_xla == transpose-split + attention_relpos_xla."""
+    from samrs_tpu.kernels.flash_attention import attention_qkv_relpos_xla
+
+    B, H, W, C, nH = 2, 8, 16, 32, 4
+    qkv_raw, Rh, Rw, hd = _make_qkv(B, H, W, C, nH)
+    scale = hd**-0.5
+    got = attention_qkv_relpos_xla(qkv_raw, Rh, Rw, (H, W), scale, nH)
+
+    qkv = qkv_raw.reshape(B, H * W, 3, nH, hd)
+    qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nH, H * W, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    r_q = q.reshape(B * nH, H, W, hd)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh).reshape(B * nH, H * W, H)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw).reshape(B * nH, H * W, W)
+    ref = attention_relpos_xla(q, k, v, rel_h, rel_w, scale)
+    ref = ref.reshape(B, nH, H * W, hd).transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("B,H,W,C,nH", [(2, 16, 16, 32, 4), (1, 16, 32, 64, 8)])
+def test_qkv_pallas_interpret_matches_oracle(B, H, W, C, nH):
+    from samrs_tpu.kernels.flash_attention import (
+        attention_qkv_relpos_xla,
+        flash_attention_qkv_relpos,
+    )
+
+    qkv_raw, Rh, Rw, hd = _make_qkv(B, H, W, C, nH, seed=H + W)
+    scale = hd**-0.5
+    ref = attention_qkv_relpos_xla(qkv_raw, Rh, Rw, (H, W), scale, nH)
+    got = flash_attention_qkv_relpos(qkv_raw, Rh, Rw, (H, W), scale, nH,
+                                     interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_qkv_gradients_flow():
+    from samrs_tpu.kernels.flash_attention import (
+        attention_qkv_relpos_xla,
+        flash_attention_qkv_relpos,
+    )
+
+    B, H, W, C, nH = 1, 16, 16, 32, 4
+    qkv_raw, Rh, Rw, hd = _make_qkv(B, H, W, C, nH, seed=7)
+    scale = hd**-0.5
+
+    g1 = jax.grad(lambda x: jnp.sum(flash_attention_qkv_relpos(
+        x, Rh, Rw, (H, W), scale, nH, interpret=True) ** 2))(qkv_raw)
+    g2 = jax.grad(lambda x: jnp.sum(attention_qkv_relpos_xla(
+        x, Rh, Rw, (H, W), scale, nH) ** 2))(qkv_raw)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
