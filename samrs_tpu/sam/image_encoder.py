@@ -98,6 +98,27 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _ConvParams(nn.Module):
+    """nn.Conv-shaped params ((kh,kw,cin,cout) kernel + bias, fp32,
+    lecun_normal/zeros) declared WITHOUT applying the conv — for paths that
+    re-express the conv as an explicit matmul.  Checkpoint-compatible with
+    nn.Conv."""
+
+    kernel_shape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape, jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.kernel_shape[-1],), jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed relative positions.
 
@@ -368,20 +389,42 @@ class ImageEncoderViT(nn.Module):
     use_flash: bool = False
     window_attn_impl: str = "pallas"
     mlp_impl: str = "xla"
+    patch_embed_impl: str = "matmul"  # 'matmul' (patch-flatten + dot) | 'conv'
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         grid = self.img_size // self.patch_size
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
+        if self.patch_embed_impl == "matmul":
+            # non-overlapping patch conv as explicit flatten + matmul: XLA
+            # lowers the 16x16/s16 conv on (B,1024,1024,3) through a slow
+            # channel-minor im2col (3.4 ms/iter + a 1.6 ms input layout copy
+            # at ViT-H B=4); reshape/transpose/dot is ~0.4 ms.  Param tree is
+            # nn.Conv's exact (kh,kw,cin,cout) kernel — checkpoints port
+            # unchanged.
+            P = self.patch_size
+            kern, bias = _ConvParams(
+                (P, P, self.in_chans, self.embed_dim), name="patch_embed")()
+            B = x.shape[0]
+            xp = x.astype(self.dtype).reshape(B, grid, P, grid, P, self.in_chans)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B * grid * grid, P * P * self.in_chans)
+            x = jax.lax.dot_general(
+                xp, kern.astype(self.dtype).reshape(-1, self.embed_dim),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=self.dtype,
+            ) + bias.astype(self.dtype)
+            x = x.reshape(B, grid, grid, self.embed_dim)
+        else:
+            x = nn.Conv(
+                self.embed_dim,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x)
         if self.use_abs_pos:
             pos_embed = self.param(
                 "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim), jnp.float32

@@ -150,3 +150,34 @@ def test_encoder_block_impl_matches_fused_path():
     # param trees are identical (checkpoint compatibility)
     vars_b = enc_b.init(jax.random.PRNGKey(0), img)
     assert jax.tree_util.tree_structure(vars_a) == jax.tree_util.tree_structure(vars_b)
+
+
+def test_patch_embed_matmul_matches_conv():
+    """patch_embed_impl='matmul' must reproduce the nn.Conv patch embed
+    exactly (same param tree, same numerics in fp32)."""
+    from samrs_tpu.sam.image_encoder import ImageEncoderViT
+
+    kw = dict(
+        img_size=64, patch_size=8, embed_dim=64, depth=1, num_heads=2,
+        out_chans=32, window_size=0, global_attn_indexes=(0,),
+        dtype=jnp.float32, window_attn_impl="xla",
+    )
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    enc_c = ImageEncoderViT(**kw, patch_embed_impl="conv")
+    enc_m = ImageEncoderViT(**kw, patch_embed_impl="matmul")
+    vars_c = enc_c.init(jax.random.PRNGKey(0), img)
+    # nonzero patch-embed bias
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(vars_c["params"])
+    flat[("patch_embed", "bias")] = jnp.asarray(
+        rng.normal(size=flat[("patch_embed", "bias")].shape).astype(np.float32))
+    vars_c = {"params": flax.traverse_util.unflatten_dict(flat)}
+    out_c = enc_c.apply(vars_c, img)
+    out_m = enc_m.apply(vars_c, img)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_m),
+                               atol=1e-5, rtol=1e-5)
+    vars_m = enc_m.init(jax.random.PRNGKey(0), img)
+    assert jax.tree_util.tree_structure(vars_c) == jax.tree_util.tree_structure(vars_m)
+    assert vars_m["params"]["patch_embed"]["kernel"].shape == (8, 8, 3, 64)
