@@ -141,9 +141,12 @@ class SamConfig(Config):
     # accumulate in fp32; measured per-mask IoU vs fp32 >= 0.990
     decode_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
-    window_attn_impl: str = "fused"  # 'fused' (transpose-free, heads as static
-    # lane slices — A/B on v5e B=4 ViT-H encode: 63.9 ms/img vs 88.7 'pallas',
-    # 117 'xla') | 'pallas' (per-head window kernel) | 'xla'
+    window_attn_impl: str = "block"  # 'block' (whole-window-layer Pallas
+    # kernel: qkv + attention + proj in one call, weights resident in VMEM,
+    # partition-free — A/B on v5e B=4 ViT-H encode: 57.3 ms/img vs 64.1
+    # 'fused') | 'fused' (transpose-free, heads as static lane slices — 63.9
+    # vs 88.7 'pallas', 117 'xla') | 'fused2' (partition-free qkv-consuming
+    # kernel) | 'pallas' (per-head window kernel) | 'xla'
     mlp_impl: str = "fused"  # 'fused' = single-pass Pallas MLP (hidden stays
     # in VMEM, gelu evaluated once — A/B on v5e B=4 ViT-H encode: 66.3 ms/img
     # vs 72.8 'xla') | 'xla' (Dense-gelu-Dense, XLA fusion)
