@@ -63,20 +63,22 @@ def onehot_expansions(kh: int, kw: int, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray
 def _flash_kernel(qp_ref, kp_ref, v_ref, o_ref):
     qp = qp_ref[0]  # (TQ, d') — already scaled/augmented
     kp = kp_ref[0]  # (N, d')
-    v = v_ref[0]
+    v = v_ref[0]    # (N, d+1) — last lane is ones, so p @ v carries the
+    #                 softmax row-sum for free (the d+1 lanes pad to the same
+    #                 128-lane tile) and the divide shrinks from (TQ, N) to
+    #                 (TQ, d): the kernel is VPU-bound, not MXU-bound
     s = jax.lax.dot_general(
         qp, kp, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TQ, N) = logits + rel-pos bias
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    d = o.shape[-1] - 1
+    o_ref[0] = (o[:, :d] / o[:, d:]).astype(o_ref.dtype)
 
 
 def _flash_attention_fwd_pallas(q, k, v, rel_h, rel_w, scale, interpret=False):
@@ -94,6 +96,10 @@ def _flash_attention_fwd_pallas(q, k, v, rel_h, rel_w, scale, interpret=False):
          jnp.broadcast_to(eh[None], (B, N, kh)),
          jnp.broadcast_to(ew[None], (B, N, kw))], axis=-1
     )
+    # ones lane: p @ v_aug computes the softmax row-sum on the MXU
+    v_aug = jnp.concatenate(
+        [v.astype(cdt), jnp.ones((B, N, 1), cdt)], axis=-1
+    )
     dp = d + kh + kw
     grid = (B, N // TQ)
     return pl.pallas_call(
@@ -102,7 +108,7 @@ def _flash_attention_fwd_pallas(q, k, v, rel_h, rel_w, scale, interpret=False):
         in_specs=[
             pl.BlockSpec((1, TQ, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, d + 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TQ, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, d), jnp.float32),
@@ -111,7 +117,7 @@ def _flash_attention_fwd_pallas(q, k, v, rel_h, rel_w, scale, interpret=False):
             transcendentals=B * N * N,
         ),
         interpret=interpret,
-    )(qp, kp, v)
+    )(qp, kp, v_aug)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -187,12 +193,15 @@ def _qkv_flash_kernel(qt_ref, kv_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # softmax row-sum rides the PV matmul as a ones lane (hd+1 pads into
+        # the same 128-lane MXU tile); the divide then touches (TQ, hd)
+        # instead of (TQ, N) — the kernel is VPU-bound
+        v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(o.astype(o_ref.dtype))
+        outs.append((o[:, :hd] / o[:, hd:]).astype(o_ref.dtype))
     o_ref[0] = jnp.concatenate(outs, axis=-1)  # (TQ, C)
 
 

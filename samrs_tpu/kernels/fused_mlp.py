@@ -167,3 +167,163 @@ def fused_mlp(
     out = _fused(x.reshape(-1, C), w1, b1, w2, b2, dtype, use_pallas, block_k,
                  interpret)
     return out.reshape(*lead, C)
+
+
+# ---------------------------------------------------------------------------
+# Whole-MLP-sublayer kernel: out = x + MLP(LayerNorm(x))
+#
+# The transformer block's MLP sublayer spends two extra HBM round-trips per
+# layer outside the matmuls: the LayerNorm (read x, write normed) and the
+# residual add (read x and the MLP output, write the sum) — ~210 MB/layer at
+# ViT-H B=4.  This kernel folds both into the MLP grid: the fp32 LN runs once
+# per token tile (k == 0) into a VMEM scratch that the k loop consumes, and
+# the residual lands in the k == nk-1 store while the x tile is still
+# resident (its block index never changes across k).
+# ---------------------------------------------------------------------------
+
+
+def ln_mlp_residual_xla(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps=1e-6):
+    """Oracle: x + MLP(LN_fp32(x).astype(dtype)) — exactly the flax
+    LayerNorm(dtype-cast) -> Dense -> erf-gelu -> Dense -> residual chain."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ln.astype(jnp.float32) + bt_ln.astype(jnp.float32)
+    return x + mlp_xla(xn.astype(dtype), w1, b1, w2, b2, dtype).astype(x.dtype)
+
+
+def _ln_kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               acc_ref, xn_ref, *, nk, eps):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _norm():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[...].astype(jnp.float32) + bln_ref[...].astype(jnp.float32)
+        xn_ref[...] = xn.astype(xn_ref.dtype)
+
+    h = jax.lax.dot_general(
+        xn_ref[...], w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    g = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    part = jax.lax.dot_general(
+        g.astype(xn_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(k == nk - 1)
+    def _store():
+        y = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        # residual: x tile is still resident; the add matches the outside
+        # bf16 `x + y` up to the (better) fp32 accumulation order
+        o_ref[...] = (x_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
+def _ln_fused_pallas(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, block_k,
+                     interpret):
+    T, C = x.shape
+    M = w1.shape[1]
+    bt = _pick_block_t(T)
+    pad = 0
+    if bt == 0:
+        bt = 256
+        pad = (-T) % bt
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    bk = block_k if M % block_k == 0 else M
+    nk = M // bk
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, nk=nk, eps=eps),
+        grid=((T + pad) // bt, nk),
+        in_specs=[
+            pl.BlockSpec((bt, C), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, bk), lambda t, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda t, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, C), lambda t, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, C), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T + pad, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, C), jnp.float32),
+            pltpu.VMEM((bt, C), jnp.dtype(dtype)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * M,
+            bytes_accessed=2 * T * C * 2 + ((T + pad) // bt) * 2 * C * M * 2,
+            transcendentals=T * M,
+        ),
+        interpret=interpret,
+    )(x, g_ln.reshape(1, C), bt_ln.reshape(1, C),
+      w1.astype(dtype), b1.reshape(1, M).astype(dtype),
+      w2.astype(dtype), b2.reshape(1, C).astype(dtype))
+    return out[:T] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _ln_fused(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, use_pallas, block_k,
+              interpret):
+    if use_pallas:
+        return _ln_fused_pallas(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps,
+                                block_k, interpret)
+    return ln_mlp_residual_xla(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps)
+
+
+def _ln_fwd(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, use_pallas, block_k,
+            interpret):
+    out = _ln_fused(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, use_pallas,
+                    block_k, interpret)
+    return out, (x, g_ln, bt_ln, w1, b1, w2, b2)
+
+
+def _ln_bwd(dtype, eps, use_pallas, block_k, interpret, res, g):
+    x, g_ln, bt_ln, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: ln_mlp_residual_xla(*a, dtype, eps),
+        x, g_ln, bt_ln, w1, b1, w2, b2,
+    )
+    return vjp(g.astype(x.dtype))
+
+
+_ln_fused.defvjp(_ln_fwd, _ln_bwd)
+
+
+def fused_ln_mlp_residual(
+    x: jnp.ndarray,     # (..., C) tokens, any leading shape
+    g_ln: jnp.ndarray,  # (C,) LayerNorm scale
+    bt_ln: jnp.ndarray, # (C,) LayerNorm bias
+    w1: jnp.ndarray,    # (C, M)
+    b1: jnp.ndarray,    # (M,)
+    w2: jnp.ndarray,    # (M, C)
+    b2: jnp.ndarray,    # (C,)
+    dtype=jnp.bfloat16,
+    eps: float = 1e-6,
+    force_xla: bool = False,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns x + gelu(LN(x)@w1+b1)@w2+b2, shape and dtype of x."""
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla
+    )
+    out = _ln_fused(x.reshape(-1, C), g_ln, bt_ln, w1, b1, w2, b2,
+                    jnp.dtype(dtype), eps, use_pallas, block_k, interpret)
+    return out.reshape(*lead, C)

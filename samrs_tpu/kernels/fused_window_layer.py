@@ -164,6 +164,10 @@ def _kernel(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
+        # NB: the global kernels fold the row-sum into PV via a ones lane;
+        # here that LOSES (62.0 vs 57.6 ms/iter windowed total, B=4 ViT-H) —
+        # the per-head (n, hd) concat copies cost more than the small
+        # (n, 196) sum+divide they remove.  Keep the plain normalization.
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),

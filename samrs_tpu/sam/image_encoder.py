@@ -119,6 +119,34 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """flax LayerNorm-shaped params (scale ones / bias zeros, fp32) declared
+    WITHOUT applying the norm — for kernels that fuse the LN.  Named "norm2"
+    this lands on nn.LayerNorm's exact param tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _MLPParams(nn.Module):
+    """MLPBlock-shaped params (lin1/lin2 Dense trees) declared raw — for the
+    fused LN+MLP+residual kernel."""
+
+    dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.mlp_dim, name="lin1")()
+        w2, b2 = _DenseParams(self.mlp_dim, self.dim, name="lin2")()
+        return w1, b1, w2, b2
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed relative positions.
 
@@ -324,7 +352,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shortcut = x
+        # LN stats in fp32, output cast to the compute dtype: every attention
+        # path immediately casts the normed map to bf16 anyway (the qkv Dense
+        # or the kernel pad), so emitting bf16 here is numerically identical
+        # and halves the LN's HBM write (84 MB/layer fp32 at ViT-H B=4)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        x = x.astype(self.dtype)
         H, W = x.shape[1], x.shape[2]
         # partition-free mode: the fused2 kernel windows via BlockSpecs, so
         # the token map stays (B, H, W, C) end to end (no partition copies)
@@ -357,7 +390,25 @@ class Block(nn.Module):
         if self.window_size > 0 and not partition_free:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
+        if self.mlp_impl == "fused":
+            # whole-sublayer kernel: LayerNorm + MLP + residual in one Pallas
+            # call (kernels/fused_mlp.fused_ln_mlp_residual) — the LN and the
+            # residual add stop costing HBM round-trips.  Params land on the
+            # exact flax tree (norm2/{scale,bias}, mlp/lin{1,2}/{kernel,bias}).
+            from samrs_tpu.kernels.fused_mlp import fused_ln_mlp_residual
+
+            C = self.dim
+            M = int(self.dim * self.mlp_ratio)
+            g_ln, b_ln = _LNParams(C, name="norm2")()
+            w1, b1, w2, b2 = _MLPParams(C, M, name="mlp")()
+            return fused_ln_mlp_residual(
+                x, g_ln, b_ln, w1, b1, w2, b2, dtype=self.dtype, eps=1e-6,
+                force_xla=self.is_initializing(),
+            )
+        # same fp32-stats / compute-dtype-output trick as norm1 (the MLP
+        # kernel and the Dense both cast their input to bf16 first)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        y = y.astype(self.dtype)
         y = MLPBlock(
             mlp_dim=int(self.dim * self.mlp_ratio), dtype=self.dtype,
             impl=self.mlp_impl, name="mlp",

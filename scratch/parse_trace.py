@@ -52,5 +52,5 @@ for t, d in track_tot.most_common(12):
     print(f"  {d/iters:12.0f}  {t}")
 
 print("\ntop ops by total self time (us/iter):")
-for name, d in tot.most_common(45):
+for name, d in tot.most_common(400):
     print(f"  {d/iters:10.0f}  x{cnt[name]//iters:<5d} {name[:110]}")

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from samrs_tpu.kernels.fused_mlp import fused_mlp, mlp_xla, _pick_block_t
+from samrs_tpu.kernels import fused_mlp as fused_mlp_mod
 from samrs_tpu.nn.layers import MLPBlock
 
 
@@ -78,3 +79,51 @@ def test_mlpblock_fused_matches_xla_and_param_tree():
     yx = mx.apply(vx, x)
     yf = mf.apply(vx, x)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yx), atol=1e-6)
+
+
+class TestFusedLnMlpResidual:
+    def _inputs(self, T=64, C=32, M=128, seed=3):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(T, C)), jnp.float32)
+        g_ln = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+        b_ln = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(C, M)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(M,)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(M, C)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+        return x, g_ln, b_ln, w1, b1, w2, b2
+
+    def test_oracle_matches_flax_composition(self):
+        import flax.linen as nn
+
+        x, g_ln, b_ln, w1, b1, w2, b2 = self._inputs()
+        ref_ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32).apply(
+            {"params": {"scale": g_ln, "bias": b_ln}}, x)
+        ref = x + (jax.nn.gelu(ref_ln @ w1 + b1, approximate=False) @ w2 + b2)
+        got = fused_mlp_mod.ln_mlp_residual_xla(
+            x, g_ln, b_ln, w1, b1, w2, b2, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_pallas_interpret_matches_oracle(self):
+        x, g_ln, b_ln, w1, b1, w2, b2 = self._inputs(T=96, C=32, M=160)
+        ref = fused_mlp_mod.fused_ln_mlp_residual(
+            x, g_ln, b_ln, w1, b1, w2, b2, dtype=jnp.float32, force_xla=True)
+        got = fused_mlp_mod.fused_ln_mlp_residual(
+            x, g_ln, b_ln, w1, b1, w2, b2, dtype=jnp.float32, interpret=True,
+            block_k=32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_gradients_flow(self):
+        x, g_ln, b_ln, w1, b1, w2, b2 = self._inputs(T=32, C=16, M=64)
+
+        def loss(x, w1, w2, g_ln):
+            out = fused_mlp_mod.fused_ln_mlp_residual(
+                x, g_ln, b_ln, w1, b1, w2, b2, dtype=jnp.float32,
+                force_xla=True)
+            return jnp.sum(out * out)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w1, w2, g_ln)
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
