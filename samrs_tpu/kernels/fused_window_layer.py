@@ -182,6 +182,120 @@ def _kernel(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     o_ref[0, 0, :, 0] = out.reshape(ws, ws, C)
 
 
+def _kernel_row(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, eu_ref, ev_ref, o_ref, *, scale, nH, hd, ws, nww):
+    """Row-of-windows variant: one program covers a full window row, so the
+    qkv/proj matmuls run at M = ws*nww*ws (980 for ViT-H) instead of 196 —
+    much better MXU row efficiency; attention stays per-window via static
+    sublane slices of the shared qkv value."""
+    n = ws * ws
+    C = nH * hd
+    rowN = ws * nww * ws
+    x = x_ref[0, 0].reshape(rowN, C)
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bqkv_ref[...].astype(x.dtype)  # (rowN, 3C)
+    qkv4 = qkv.reshape(ws, nww, ws, 3 * C)
+    rel_h4 = rh_ref[0, 0].reshape(ws, nww, ws, nH * ws)
+    rel_w4 = rw_ref[0, 0].reshape(ws, nww, ws, nH * ws)
+    eu = eu_ref[...]
+    ev = ev_ref[...]
+    att_rows = []
+    for j in range(nww):  # static unroll over windows in the row
+        qkvw = qkv4[:, j].reshape(n, 3 * C)
+        rel_h = rel_h4[:, j].reshape(n, nH * ws)
+        rel_w = rel_w4[:, j].reshape(n, nH * ws)
+        outs = []
+        for h in range(nH):
+            q = qkvw[:, h * hd:(h + 1) * hd]
+            k = qkvw[:, C + h * hd:C + (h + 1) * hd]
+            v = qkvw[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            q_aug = jnp.concatenate([
+                q * scale,
+                rel_h[:, h * ws:(h + 1) * ws],
+                rel_w[:, h * ws:(h + 1) * ws],
+            ], axis=-1)
+            k_aug = jnp.concatenate([k, eu, ev], axis=-1)
+            s = jax.lax.dot_general(
+                q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(o.astype(x.dtype))
+        att_rows.append(jnp.concatenate(outs, axis=-1).reshape(ws, 1, ws, C))
+    att = jnp.concatenate(att_rows, axis=1).reshape(rowN, C)
+    out = jax.lax.dot_general(
+        att, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bproj_ref[...].astype(x.dtype)
+    o_ref[0, 0] = out.reshape(ws, nww, ws, C)
+
+
+def _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
+                dtype=jnp.bfloat16, interpret=False):
+    B, H, W, C = xn.shape
+    nH = num_heads
+    hd = C // nH
+    n = ws * ws
+    Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
+    nwh, nww = Hp // ws, Wp // ws
+    xp = jnp.pad(xn.astype(dtype), ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    rel_h, rel_w = _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
+    eu, ev = _onehots(ws, dtype)
+    bqkv_k = (bqkv if bqkv is not None else jnp.zeros((3 * C,), Wqkv.dtype))
+    bproj_k = (bproj if bproj is not None else jnp.zeros((C,), Wproj.dtype))
+
+    x6 = xp.reshape(B, nwh, ws, nww, ws, C)
+    r6 = lambda r: r.reshape(B, nwh, ws, nww, ws, nH * ws)
+    row = lambda lanes: pl.BlockSpec(
+        (1, 1, ws, nww, ws, lanes), lambda b, i: (b, i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cst = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(_kernel_row, scale=scale, nH=nH, hd=hd, ws=ws,
+                               nww=nww)
+    out6 = pl.pallas_call(
+        kernel,
+        grid=(B, nwh),
+        in_specs=[
+            row(C),
+            row(nH * ws), row(nH * ws),
+            cst(C, 3 * C), cst(1, 3 * C),
+            cst(C, C), cst(1, C),
+            cst(n, ws), cst(n, ws),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ws, nww, ws, C), lambda b, i: (b, i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nwh, ws, nww, ws, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hp * Wp * C * (4 * C)
+            + 4 * B * nwh * nww * nH * n * n * (hd + 2 * ws),
+            bytes_accessed=B * Hp * Wp * (2 * C + 2 * nH * ws) * 2
+            + 4 * C * C * 2,
+            transcendentals=B * nwh * nww * nH * n * n,
+        ),
+        interpret=interpret,
+    )(x6, r6(rel_h), r6(rel_w),
+      Wqkv.astype(dtype), bqkv_k.astype(dtype).reshape(1, 3 * C),
+      Wproj.astype(dtype), bproj_k.astype(dtype).reshape(1, C),
+      eu, ev)
+    return out6.reshape(B, Hp, Wp, C)[:, :H, :W]
+
+
 def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
             dtype=jnp.bfloat16, interpret=False):
     B, H, W, C = xn.shape
@@ -244,6 +358,11 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
            dtype, use_pallas, interpret):
+    # use_pallas: False = XLA oracle; True = per-window grid; "row" = one
+    # program per window row (big-M qkv/proj matmuls)
+    if use_pallas == "row":
+        return _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                           num_heads, dtype=dtype, interpret=interpret)
     if use_pallas:
         return _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                        num_heads, dtype=dtype, interpret=interpret)
@@ -284,11 +403,15 @@ def window_layer_attention(
     dtype=jnp.bfloat16,
     force_xla: bool = False,
     interpret: bool = False,
+    rows: bool = False,
 ) -> jnp.ndarray:
     """qkv + windowed rel-pos attention + proj; returns (B, H, W, C)
-    (pre-residual).  Pallas on TPU, XLA composition elsewhere."""
+    (pre-residual).  Pallas on TPU, XLA composition elsewhere.  rows=True
+    uses the row-of-windows grid (one program per window row)."""
     use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
         interpret and not force_xla
     )
+    if use_pallas and rows:
+        use_pallas = "row"
     return _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
                   jnp.dtype(dtype), use_pallas, interpret)

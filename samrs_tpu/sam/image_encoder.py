@@ -175,7 +175,8 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        if self.window_size > 0 and self.use_rel_pos and self.window_attn_impl == "block":
+        if (self.window_size > 0 and self.use_rel_pos
+                and self.window_attn_impl in ("block", "block_row")):
             # whole-layer kernel: qkv + window attention + proj in one Pallas
             # call (kernels/fused_window_layer).  Params are declared raw but
             # mirror nn.Dense's tree ({qkv,proj}/{kernel,bias}) exactly.
@@ -198,6 +199,7 @@ class Attention(nn.Module):
                 get_rel_pos(ws, ws, rel_pos_h), get_rel_pos(ws, ws, rel_pos_w),
                 ws, scale, self.num_heads, dtype=self.dtype,
                 force_xla=self.is_initializing(),
+                rows=(self.window_attn_impl == "block_row"),
             )
 
         # 2-D input to the qkv projection: XLA emits the plain row-major dot
@@ -363,7 +365,7 @@ class Block(nn.Module):
         # the token map stays (B, H, W, C) end to end (no partition copies)
         partition_free = (
             self.window_size > 0
-            and self.window_attn_impl in ("fused2", "block")
+            and self.window_attn_impl in ("fused2", "block", "block_row")
             and self.use_rel_pos
         )
         if self.window_size > 0 and not partition_free:

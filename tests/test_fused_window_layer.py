@@ -181,3 +181,25 @@ def test_patch_embed_matmul_matches_conv():
     vars_m = enc_m.init(jax.random.PRNGKey(0), img)
     assert jax.tree_util.tree_structure(vars_c) == jax.tree_util.tree_structure(vars_m)
     assert vars_m["params"]["patch_embed"]["kernel"].shape == (8, 8, 3, 64)
+
+
+def test_row_variant_matches_oracle_interpret():
+    """Row-of-windows grid (one program per window row) vs the XLA oracle."""
+    B, H, W, C, nH, ws = 2, 13, 13, 32, 4, 7  # Hp=Wp=14, nww=2, with padding
+    rng = np.random.default_rng(11)
+    xn = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    Wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.05, jnp.float32)
+    Wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+    hd = C // nH
+    Rh = jnp.asarray(rng.normal(size=(ws, ws, hd)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.normal(size=(ws, ws, hd)) * 0.1, jnp.float32)
+    scale = hd**-0.5
+    ref = window_layer_attention(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                 scale, nH, dtype=jnp.float32, force_xla=True)
+    got = window_layer_attention(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                 scale, nH, dtype=jnp.float32, interpret=True,
+                                 rows=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
