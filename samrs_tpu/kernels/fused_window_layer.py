@@ -182,6 +182,144 @@ def _kernel(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     o_ref[0, 0, :, 0] = out.reshape(ws, ws, C)
 
 
+def _kernel2(x_ref, sc_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref,
+             bproj_ref, eu_ref, ev_ref, o_ref, acc_ref,
+             *, scale, nH, hd, ws, W, nww):
+    """Row-block variant with in-kernel window extraction and fused residual.
+
+    x/rel ride as (1, ws, Wp, lanes) ROW blocks of the padded 4-D maps (last
+    two block dims are the FULL array dims — Mosaic-legal — so NO 6-D-view
+    layout copies are needed on the XLA side); the shortcut and the output are
+    (1, ws, W, C) row blocks of the UNPADDED maps.  The grid is
+    (B, nwh, nww) with j innermost: the row blocks keep a constant index
+    across j (one DMA per row), each program extracts window j with a STATIC
+    value slice under pl.when (Mosaic rejects dynamic sublane offsets that
+    are not provably 8-multiples; static ws-offset slices are the verified
+    block_row pattern — and the ~0.6 MB pre-qkv repack here is 15x smaller
+    than block_row's post-qkv extraction, which measured 63 vs 54 ms/img),
+    attention runs per-window exactly as `_kernel`, the result accumulates
+    into a (ws, nww, ws, C) VMEM scratch via a static leading index, and the
+    LAST window of each row collapses the scratch to (ws, nww*ws, C), crops
+    the column pad, adds the residual, and stores the unpadded output."""
+    n = ws * ws
+    C = nH * hd
+    j = pl.program_id(2)
+    # Mosaic rejects DYNAMIC sublane slices at non-8-multiple offsets, so the
+    # window extraction unrolls over the nww static positions under pl.when;
+    # static value slices at ws offsets are the Mosaic-verified block_row
+    # pattern.  The row blocks keep a constant index across j, so each row is
+    # DMA'd once and stays resident while its nww programs run.
+    x_row = x_ref[0].reshape(ws, nww, ws, C)
+    rh_row = rh_ref[0].reshape(ws, nww, ws, nH * ws)
+    rw_row = rw_ref[0].reshape(ws, nww, ws, nH * ws)
+    eu = eu_ref[...]
+    ev = ev_ref[...]
+    for jj in range(nww):
+        @pl.when(j == jj)
+        def _window(jj=jj):
+            xw = x_row[:, jj].reshape(n, C)
+            qkv = jax.lax.dot_general(
+                xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xw.dtype) + bqkv_ref[...].astype(xw.dtype)  # (n, 3C)
+            rel_h = rh_row[:, jj].reshape(n, nH * ws)
+            rel_w = rw_row[:, jj].reshape(n, nH * ws)
+            outs = []
+            for h in range(nH):  # static unroll; static lane offsets
+                q = qkv[:, h * hd:(h + 1) * hd]
+                k = qkv[:, C + h * hd:C + (h + 1) * hd]
+                v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+                q_aug = jnp.concatenate([
+                    q * scale,
+                    rel_h[:, h * ws:(h + 1) * ws],
+                    rel_w[:, h * ws:(h + 1) * ws],
+                ], axis=-1)
+                k_aug = jnp.concatenate([k, eu, ev], axis=-1)
+                s = jax.lax.dot_general(
+                    q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v.dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(o.astype(xw.dtype))
+            att = jnp.concatenate(outs, axis=-1)  # (n, C)
+            out = jax.lax.dot_general(
+                att, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xw.dtype) + bproj_ref[...].astype(xw.dtype)
+            acc_ref[:, jj] = out.reshape(ws, ws, C)  # static LEADING index
+
+    @pl.when(j == nww - 1)
+    def _store_row():
+        # (ws, nww, ws, C) -> (ws, nww*ws, C) leading-into-sublane collapse,
+        # crop the column pad, add the residual, one aligned full-row store
+        row = acc_ref[...].reshape(ws, nww * ws, C)[:, :W, :]
+        o_ref[0] = row + sc_ref[0].astype(o_ref.dtype)
+
+
+def _pallas2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
+             dtype=jnp.bfloat16, interpret=False):
+    """Row-block whole-layer call: returns sc + window_layer(xn)."""
+    B, H, W, C = xn.shape
+    nH = num_heads
+    hd = C // nH
+    n = ws * ws
+    Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
+    nwh, nww = Hp // ws, Wp // ws
+    xp = jnp.pad(xn.astype(dtype), ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    rel_h, rel_w = _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
+    eu, ev = _onehots(ws, dtype)
+    bqkv_k = (bqkv if bqkv is not None else jnp.zeros((3 * C,), Wqkv.dtype))
+    bproj_k = (bproj if bproj is not None else jnp.zeros((C,), Wproj.dtype))
+
+    rowspec = lambda lanes: pl.BlockSpec(
+        (1, ws, Wp, lanes), lambda b, i, j: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outspec = pl.BlockSpec(
+        (1, ws, W, C), lambda b, i, j: (b, i, 0, 0), memory_space=pltpu.VMEM,
+    )
+    cst = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(_kernel2, scale=scale, nH=nH, hd=hd, ws=ws,
+                               W=W, nww=nww)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nwh, nww),
+        in_specs=[
+            rowspec(C), outspec,
+            rowspec(nH * ws), rowspec(nH * ws),
+            cst(C, 3 * C), cst(1, 3 * C),
+            cst(C, C), cst(1, C),
+            cst(n, ws), cst(n, ws),
+        ],
+        out_specs=outspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
+        scratch_shapes=[pltpu.VMEM((ws, nww, ws, C), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hp * Wp * C * (4 * C)
+            + 4 * B * nwh * nww * nH * n * n * (hd + 2 * ws),
+            bytes_accessed=B * Hp * Wp * (2 * C + 2 * nH * ws) * 2
+            + 4 * C * C * 2,
+            transcendentals=B * nwh * nww * nH * n * n,
+        ),
+        interpret=interpret,
+    )(xp, sc.astype(dtype), rel_h, rel_w,
+      Wqkv.astype(dtype), bqkv_k.astype(dtype).reshape(1, 3 * C),
+      Wproj.astype(dtype), bproj_k.astype(dtype).reshape(1, C),
+      eu, ev)
+
+
 def _kernel_row(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, eu_ref, ev_ref, o_ref, *, scale, nH, hd, ws, nww):
     """Row-of-windows variant: one program covers a full window row, so the
@@ -387,6 +525,62 @@ def _bwd(ws, scale, num_heads, dtype, use_pallas, interpret, res, g):
 
 
 _fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _fused2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
+            dtype, use_pallas, interpret):
+    if use_pallas:
+        return _pallas2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                        num_heads, dtype=dtype, interpret=interpret)
+    return (sc + window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                  scale, num_heads, dtype=dtype)).astype(dtype)
+
+
+def _fwd2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
+          dtype, use_pallas, interpret):
+    out = _fused2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                  num_heads, dtype, use_pallas, interpret)
+    return out, (sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw)
+
+
+def _bwd2(ws, scale, num_heads, dtype, use_pallas, interpret, res, g):
+    sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw = res
+    _, vjp = jax.vjp(
+        lambda s, *a: (s + window_layer_xla(*a, ws, scale, num_heads,
+                                            dtype=dtype)).astype(dtype),
+        sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw,
+    )
+    return vjp(g)
+
+
+_fused2.defvjp(_fwd2, _bwd2)
+
+
+def window_layer_attention_residual(
+    sc: jnp.ndarray,      # (B, H, W, C) residual stream (pre-norm1 input)
+    xn: jnp.ndarray,      # (B, H, W, C) normed map
+    Wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    Wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    Rh: jnp.ndarray,
+    Rw: jnp.ndarray,
+    ws: int,
+    scale: float,
+    num_heads: int,
+    dtype=jnp.bfloat16,
+    force_xla: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sc + (qkv + windowed rel-pos attention + proj)(xn), with x/out as
+    partial blocks of the UNPADDED maps and the residual add in-kernel
+    (`window_attn_impl="block2"`)."""
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla
+    )
+    return _fused2(sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                   num_heads, jnp.dtype(dtype), use_pallas, interpret)
 
 
 def window_layer_attention(

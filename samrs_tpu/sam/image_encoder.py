@@ -170,13 +170,14 @@ class Attention(nn.Module):
     sp_axis: str = "seq"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 shortcut: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, H, W, _ = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
         if (self.window_size > 0 and self.use_rel_pos
-                and self.window_attn_impl in ("block", "block_row")):
+                and self.window_attn_impl in ("block", "block_row", "block2")):
             # whole-layer kernel: qkv + window attention + proj in one Pallas
             # call (kernels/fused_window_layer).  Params are declared raw but
             # mirror nn.Dense's tree ({qkv,proj}/{kernel,bias}) exactly.
@@ -192,6 +193,21 @@ class Attention(nn.Module):
                 self.dim, 3 * self.dim, self.qkv_bias, name="qkv")()
             Wproj, bproj = _DenseParams(self.dim, self.dim, True, name="proj")()
             ws = self.window_size
+            if self.window_attn_impl == "block2":
+                # partial-block variant with the residual add fused in-kernel
+                # (x/out/shortcut skip the pad + 6-D-view layout copies)
+                assert shortcut is not None
+                from samrs_tpu.kernels.fused_window_layer import (
+                    window_layer_attention_residual,
+                )
+
+                return window_layer_attention_residual(
+                    shortcut, x, Wqkv, bqkv, Wproj, bproj,
+                    get_rel_pos(ws, ws, rel_pos_h),
+                    get_rel_pos(ws, ws, rel_pos_w),
+                    ws, scale, self.num_heads, dtype=self.dtype,
+                    force_xla=self.is_initializing(),
+                )
             from samrs_tpu.kernels.fused_window_layer import window_layer_attention
 
             return window_layer_attention(
@@ -365,8 +381,13 @@ class Block(nn.Module):
         # the token map stays (B, H, W, C) end to end (no partition copies)
         partition_free = (
             self.window_size > 0
-            and self.window_attn_impl in ("fused2", "block", "block_row")
+            and self.window_attn_impl in ("fused2", "block", "block_row",
+                                          "block2")
             and self.use_rel_pos
+        )
+        # block2: the residual add is fused INTO the window-layer kernel
+        residual_in_kernel = (
+            partition_free and self.window_attn_impl == "block2"
         )
         if self.window_size > 0 and not partition_free:
             x, pad_hw = window_partition(x, self.window_size)
@@ -388,10 +409,11 @@ class Block(nn.Module):
             sp_mesh=self.sp_mesh if self.window_size == 0 else None,
             sp_axis=self.sp_axis,
             name="attn",
-        )(x)
+        )(x, shortcut=shortcut if residual_in_kernel else None)
         if self.window_size > 0 and not partition_free:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
-        x = shortcut + x
+        if not residual_in_kernel:
+            x = shortcut + x
         if self.mlp_impl == "fused":
             # whole-sublayer kernel: LayerNorm + MLP + residual in one Pallas
             # call (kernels/fused_mlp.fused_ln_mlp_residual) — the LN and the

@@ -322,24 +322,6 @@ def load_torch_resnet_backbone(
     return params, batch_stats, sorted(set(loaded)), sorted(set(skipped) - consumed)
 
 
-def _make_try_set(params, loaded, skipped):
-    def try_set(flax_path: List[str], value: np.ndarray, tk: str) -> None:
-        node = params
-        for k in flax_path[:-1]:
-            if k not in node:
-                skipped.append(tk)
-                return
-            node = node[k]
-        leaf = flax_path[-1]
-        if leaf not in node or tuple(np.shape(node[leaf])) != tuple(value.shape):
-            skipped.append(tk)
-            return
-        node[leaf] = value
-        loaded.append(tk)
-
-    return try_set
-
-
 def load_torch_internimage_backbone(
     state_dict: Mapping[str, Any], params: Dict[str, Any]
 ) -> Tuple[Dict[str, Any], List[str], List[str]]:
@@ -351,16 +333,11 @@ def load_torch_internimage_backbone(
     with `norm{1,2}.0`, `gamma{1,2}` (layer scale), `dcn.*`
     (ops_dcnv3/modules/dcnv3.py:221-320), `mlp.fc{1,2}`, and
     `levels.{i}.downsample.{conv,norm.1}`."""
-    import copy
-
     sd = _strip_prefixes(
         {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
          for k, v in state_dict.items()}
     )
-    params = copy.deepcopy(params)
-    loaded: List[str] = []
-    skipped: List[str] = []
-    try_set = _make_try_set(params, loaded, skipped)
+    params, loaded, skipped, try_set = _make_try_set(params)
 
     stem = {
         "patch_embed.conv1.weight": (["stem_conv1", "kernel"], "conv"),

@@ -183,6 +183,62 @@ def test_patch_embed_matmul_matches_conv():
     assert vars_m["params"]["patch_embed"]["kernel"].shape == (8, 8, 3, 64)
 
 
+@pytest.mark.parametrize("hw", [(20, 20), (14, 14), (28, 21)])
+def test_residual_variant_matches_oracle_interpret(hw):
+    """block2 (partial blocks of the unpadded maps + in-kernel residual) vs
+    sc + oracle.  (20,20)/(28,21) exercise partial edge blocks with nonzero
+    qkv bias — the masked-to-zero pad rows must yield k=v=bias exactly."""
+    from samrs_tpu.kernels.fused_window_layer import (
+        window_layer_attention_residual,
+    )
+
+    H, W = hw
+    B, C, nH, ws = 2, 64, 4, 7
+    xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, hd = _mk(B, H, W, C, nH, ws, seed=H + 1)
+    rng = np.random.default_rng(99)
+    sc = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    scale = hd**-0.5
+    ref = sc + window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                scale, nH, dtype=jnp.float32)
+    got = window_layer_attention_residual(
+        sc, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, nH,
+        dtype=jnp.float32, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-5)
+
+
+def test_encoder_block2_impl_matches_block():
+    """ImageEncoderViT with window_attn_impl='block2' (in-kernel residual)
+    equals the 'block' path on the same variables, and the param trees are
+    identical (checkpoint compatibility)."""
+    from samrs_tpu.sam.image_encoder import ImageEncoderViT
+    import flax
+
+    kw = dict(
+        img_size=64, patch_size=8, embed_dim=64, depth=2, num_heads=2,
+        out_chans=32, window_size=3, global_attn_indexes=(1,),
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    enc_a = ImageEncoderViT(**kw, window_attn_impl="block")
+    vars_a = enc_a.init(jax.random.PRNGKey(0), img)
+    flat = flax.traverse_util.flatten_dict(vars_a["params"])
+    for k in flat:
+        if k[-1] == "bias":
+            flat[k] = jnp.asarray(
+                rng.normal(size=flat[k].shape).astype(np.float32) * 0.3)
+    vars_a = {"params": flax.traverse_util.unflatten_dict(flat)}
+    enc_b = ImageEncoderViT(**kw, window_attn_impl="block2")
+    out_a = enc_a.apply(vars_a, img)
+    out_b = enc_b.apply(vars_a, img)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-4, rtol=1e-4)
+    vars_b = enc_b.init(jax.random.PRNGKey(0), img)
+    assert jax.tree_util.tree_structure(vars_a) == jax.tree_util.tree_structure(vars_b)
+
+
 def test_row_variant_matches_oracle_interpret():
     """Row-of-windows grid (one program per window row) vs the XLA oracle."""
     B, H, W, C, nH, ws = 2, 13, 13, 32, 4, 7  # Hp=Wp=14, nww=2, with padding
