@@ -264,6 +264,13 @@ def _ln_fused_pallas(x, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, block_k,
             pltpu.VMEM((bt, C), jnp.float32),
             pltpu.VMEM((bt, C), jnp.dtype(dtype)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # ViT-H sits ~0.7 MB over the 16 MB default once neighbouring
+            # kernels change the surrounding buffer assignment (measured with
+            # the block2 window layer in the same program); the real working
+            # set is the blocks + two (bt, C) scratches.
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * C * M,
             bytes_accessed=2 * T * C * 2 + ((T + pad) // bt) * 2 * C * M * 2,

@@ -200,7 +200,18 @@ def _kernel2(x_ref, sc_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attention runs per-window exactly as `_kernel`, the result accumulates
     into a (ws, nww, ws, C) VMEM scratch via a static leading index, and the
     LAST window of each row collapses the scratch to (ws, nww*ws, C), crops
-    the column pad, adds the residual, and stores the unpadded output."""
+    the column pad, adds the residual, and stores the unpadded output.
+
+    MEASURED (2026-08-19, v5e, ViT-H B=4, full encoder jit): **80.5 ms/img vs
+    53.9 for the per-window 6-D `block` kernel** (outputs bit-identical).
+    NEGATIVE RESULT, same lesson as block_row (63.1): in-kernel window
+    extraction — whether post-qkv (block_row) or pre-qkv under predicated
+    static slices (here) — costs more than the ~135 MB/layer of XLA-side
+    pad/6-D-view/output layout copies it removes.  The DMA engines handle the
+    strided 6-D window blocks essentially for free, while value re-slicing
+    serializes on the VPU and the pl.when bodies defeat Mosaic's cross-window
+    pipelining.  Kept off-default as the reference pattern for partial-block
+    stores (unpadded output + aligned final row store)."""
     n = ws * ws
     C = nH * hd
     j = pl.program_id(2)
