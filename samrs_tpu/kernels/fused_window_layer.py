@@ -182,6 +182,122 @@ def _kernel(x_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     o_ref[0, 0, :, 0] = out.reshape(ws, ws, C)
 
 
+def _kernel_q(qkv_ref, rh_ref, rw_ref, bqkv_ref, wproj_ref, bproj_ref,
+              eu_ref, ev_ref, o_ref, *, scale, nH, hd, ws):
+    """qkv-outside variant: the qkv projection runs OUTSIDE the kernel as one
+    giant M = B*H*W matmul (full MXU row occupancy on the UNPADDED tokens,
+    vs M=196 per program in `_kernel`); this kernel consumes the zero-padded
+    no-bias qkv map viewed 6-D and adds the bias in VMEM, so pad tokens carry
+    k = v = bias exactly as the reference's pad-before-qkv does."""
+    n = ws * ws
+    C = nH * hd
+    qkv = (qkv_ref[0, 0, :, 0].reshape(n, 3 * C)
+           + bqkv_ref[...].astype(qkv_ref.dtype))
+    rel_h = rh_ref[0, 0, :, 0].reshape(n, nH * ws)
+    rel_w = rw_ref[0, 0, :, 0].reshape(n, nH * ws)
+    eu = eu_ref[...]
+    ev = ev_ref[...]
+    outs = []
+    for h in range(nH):  # static unroll; all slices at static lane offsets
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        q_aug = jnp.concatenate([
+            q * scale,
+            rel_h[:, h * ws:(h + 1) * ws],
+            rel_w[:, h * ws:(h + 1) * ws],
+        ], axis=-1)  # (n, hd + 2ws)
+        k_aug = jnp.concatenate([k, eu, ev], axis=-1)
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(qkv.dtype))
+    att = jnp.concatenate(outs, axis=-1)  # (n, C)
+    out = jax.lax.dot_general(
+        att, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(qkv.dtype) + bproj_ref[...].astype(qkv.dtype)
+    o_ref[0, 0, :, 0] = out.reshape(ws, ws, nH * hd)
+
+
+def _pallas_q(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
+              dtype=jnp.bfloat16, interpret=False):
+    """qkv-outside whole-layer call (`window_attn_impl="blockq"`).
+
+    Bit-compatibility with `_pallas`: the no-bias qkv matmul runs on the
+    unpadded tokens (fp32 MXU accum -> round to `dtype`, exactly the kernel's
+    dot), the output map is zero-padded (matmul of a zero row is zero), and
+    the bias is added in-kernel — so pad tokens still see k = v = bias."""
+    B, H, W, C = xn.shape
+    nH = num_heads
+    hd = C // nH
+    n = ws * ws
+    Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
+    nwh, nww = Hp // ws, Wp // ws
+    xd = xn.astype(dtype)
+    xp = jnp.pad(xd, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    rel_h, rel_w = _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
+    eu, ev = _onehots(ws, dtype)
+    bqkv_k = (bqkv if bqkv is not None else jnp.zeros((3 * C,), Wqkv.dtype))
+    bproj_k = (bproj if bproj is not None else jnp.zeros((C,), Wproj.dtype))
+
+    qkv_nb = jax.lax.dot_general(
+        xd.reshape(-1, C), Wqkv.astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(B, H, W, 3 * C)
+    qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    q6 = qkv_p.reshape(B, nwh, ws, nww, ws, 3 * C)  # free dimension split
+    r6 = lambda r: r.reshape(B, nwh, ws, nww, ws, nH * ws)
+    win = lambda lanes: pl.BlockSpec(
+        (1, 1, ws, 1, ws, lanes), lambda b, i, j: (b, i, 0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cst = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(_kernel_q, scale=scale, nH=nH, hd=hd, ws=ws)
+    out6 = pl.pallas_call(
+        kernel,
+        grid=(B, nwh, nww),
+        in_specs=[
+            win(3 * C),
+            win(nH * ws), win(nH * ws),
+            cst(1, 3 * C),
+            cst(C, C), cst(1, C),
+            cst(n, ws), cst(n, ws),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ws, 1, ws, C), lambda b, i, j: (b, i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nwh, ws, nww, ws, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hp * Wp * C * C
+            + 4 * B * nwh * nww * nH * n * n * (hd + 2 * ws),
+            bytes_accessed=B * Hp * Wp * (4 * C + 2 * nH * ws) * 2
+            + C * C * 2,
+            transcendentals=B * nwh * nww * nH * n * n,
+        ),
+        interpret=interpret,
+    )(q6, r6(rel_h), r6(rel_w),
+      bqkv_k.astype(dtype).reshape(1, 3 * C),
+      Wproj.astype(dtype), bproj_k.astype(dtype).reshape(1, C),
+      eu, ev)
+    return out6.reshape(B, Hp, Wp, C)[:, :H, :W]
+
+
 def _kernel2(x_ref, sc_ref, rh_ref, rw_ref, wqkv_ref, bqkv_ref, wproj_ref,
              bproj_ref, eu_ref, ev_ref, o_ref, acc_ref,
              *, scale, nH, hd, ws, W, nww):
@@ -508,10 +624,14 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
 def _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
            dtype, use_pallas, interpret):
     # use_pallas: False = XLA oracle; True = per-window grid; "row" = one
-    # program per window row (big-M qkv/proj matmuls)
+    # program per window row (big-M qkv/proj matmuls); "qkv_out" = qkv as one
+    # giant matmul outside, attention+proj in-kernel
     if use_pallas == "row":
         return _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                            num_heads, dtype=dtype, interpret=interpret)
+    if use_pallas == "qkv_out":
+        return _pallas_q(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                         num_heads, dtype=dtype, interpret=interpret)
     if use_pallas:
         return _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                        num_heads, dtype=dtype, interpret=interpret)
@@ -609,14 +729,20 @@ def window_layer_attention(
     force_xla: bool = False,
     interpret: bool = False,
     rows: bool = False,
+    variant: str | None = None,
 ) -> jnp.ndarray:
     """qkv + windowed rel-pos attention + proj; returns (B, H, W, C)
-    (pre-residual).  Pallas on TPU, XLA composition elsewhere.  rows=True
-    uses the row-of-windows grid (one program per window row)."""
+    (pre-residual).  Pallas on TPU, XLA composition elsewhere.
+    variant: None = per-window grid with in-kernel qkv ("block"); "row" = one
+    program per window row ("block_row"); "qkv_out" = qkv as one giant
+    outside matmul, attention+proj in-kernel ("blockq").  rows=True is the
+    legacy spelling of variant="row"."""
     use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
         interpret and not force_xla
     )
-    if use_pallas and rows:
-        use_pallas = "row"
+    if rows:
+        variant = "row"
+    if use_pallas and variant is not None:
+        use_pallas = variant
     return _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
                   jnp.dtype(dtype), use_pallas, interpret)

@@ -177,7 +177,8 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
 
         if (self.window_size > 0 and self.use_rel_pos
-                and self.window_attn_impl in ("block", "block_row", "block2")):
+                and self.window_attn_impl in ("block", "block_row", "block2",
+                                              "blockq")):
             # whole-layer kernel: qkv + window attention + proj in one Pallas
             # call (kernels/fused_window_layer).  Params are declared raw but
             # mirror nn.Dense's tree ({qkv,proj}/{kernel,bias}) exactly.
@@ -215,7 +216,8 @@ class Attention(nn.Module):
                 get_rel_pos(ws, ws, rel_pos_h), get_rel_pos(ws, ws, rel_pos_w),
                 ws, scale, self.num_heads, dtype=self.dtype,
                 force_xla=self.is_initializing(),
-                rows=(self.window_attn_impl == "block_row"),
+                variant={"block": None, "block_row": "row",
+                         "blockq": "qkv_out"}[self.window_attn_impl],
             )
 
         # 2-D input to the qkv projection: XLA emits the plain row-major dot
@@ -382,7 +384,7 @@ class Block(nn.Module):
         partition_free = (
             self.window_size > 0
             and self.window_attn_impl in ("fused2", "block", "block_row",
-                                          "block2")
+                                          "block2", "blockq")
             and self.use_rel_pos
         )
         # block2: the residual add is fused INTO the window-layer kernel

@@ -239,6 +239,24 @@ def test_encoder_block2_impl_matches_block():
     assert jax.tree_util.tree_structure(vars_a) == jax.tree_util.tree_structure(vars_b)
 
 
+@pytest.mark.parametrize("hw", [(20, 20), (14, 14)])
+def test_qkv_out_variant_matches_oracle_interpret(hw):
+    """blockq (qkv as one outside matmul, bias added in-kernel) vs oracle.
+    (20,20) pads 20->21, exercising the zero-pad + in-kernel-bias pad-token
+    semantics (k = v = bias) with nonzero qkv bias."""
+    H, W = hw
+    B, C, nH, ws = 2, 64, 4, 7
+    xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, hd = _mk(B, H, W, C, nH, ws, seed=H + 2)
+    scale = hd**-0.5
+    ref = window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                           nH, dtype=jnp.float32)
+    got = window_layer_attention(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                 scale, nH, dtype=jnp.float32, interpret=True,
+                                 variant="qkv_out")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-5)
+
+
 def test_row_variant_matches_oracle_interpret():
     """Row-of-windows grid (one program per window row) vs the XLA oracle."""
     B, H, W, C, nH, ws = 2, 13, 13, 32, 4, 7  # Hp=Wp=14, nww=2, with padding
