@@ -100,6 +100,43 @@ def _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, num_heads):
     return rel_h.astype(dt), rel_w.astype(dt)
 
 
+def _rel_projections_slab(xp, Wqkv, bqkv, Rh, Rw, ws, num_heads):
+    """Same math as `_rel_projections_folded`, lowered as 2*ws SMALL matmuls
+    on 6-D slabs instead of two ws-batched einsums.
+
+    Motivation (ViT-H B=4 optimized-HLO read): XLA lowers the batched
+    `birwc,rck` / `bhjrc,rck` einsums as fp32 `convolution-base-dilated` ops
+    whose operands need TWO extra ~51 MB layout copies of the padded map per
+    layer (the x5h/x5w views in non-standard layouts).  Slicing slab r out of
+    the standard-layout 6-D view and matmul'ing it against G[r] keeps every
+    operand in the layout it already has.  Returns rel_h6, rel_w6 ALREADY in
+    the kernel's 6-D window layout (B, nwh, ws, nww, ws, nH*ws)."""
+    B, Hp, Wp, C = xp.shape
+    nH = num_heads
+    hd = C // nH
+    dt = xp.dtype
+    Wq = Wqkv[:, :C].reshape(C, nH, hd)
+    bq = (bqkv[:C] if bqkv is not None else jnp.zeros((C,), Wqkv.dtype)).reshape(nH, hd)
+    G_h = jnp.einsum("cnd,rkd->rcnk", Wq, Rh).reshape(ws, C, nH * ws).astype(dt)
+    G_w = jnp.einsum("cnd,rkd->rcnk", Wq, Rw).reshape(ws, C, nH * ws).astype(dt)
+    B_h = jnp.einsum("nd,rkd->rnk", bq, Rh).reshape(ws, nH * ws).astype(jnp.float32)
+    B_w = jnp.einsum("nd,rkd->rnk", bq, Rw).reshape(ws, nH * ws).astype(jnp.float32)
+    x6 = xp.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    dot = lambda a, g: jax.lax.dot_general(
+        a, g, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rel_h6 = jnp.stack(
+        [(dot(x6[:, :, r], G_h[r]) + B_h[r]).astype(dt) for r in range(ws)],
+        axis=2,
+    )
+    rel_w6 = jnp.stack(
+        [(dot(x6[:, :, :, :, r], G_w[r]) + B_w[r]).astype(dt) for r in range(ws)],
+        axis=4,
+    )
+    return rel_h6, rel_w6
+
+
 def window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                      num_heads, dtype=jnp.bfloat16):
     """Pure-JAX oracle: zero-pad -> qkv -> windowed rel-pos attention -> proj.
@@ -562,7 +599,8 @@ def _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
 
 
 def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
-            dtype=jnp.bfloat16, interpret=False):
+            dtype=jnp.bfloat16, interpret=False, rel_slab=False,
+            grid_ijb=False):
     B, H, W, C = xn.shape
     nH = num_heads
     hd = C // nH
@@ -570,26 +608,37 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
     Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
     nwh, nww = Hp // ws, Wp // ws
     xp = jnp.pad(xn.astype(dtype), ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-    rel_h, rel_w = _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
     eu, ev = _onehots(ws, dtype)
     bqkv_k = (bqkv if bqkv is not None else jnp.zeros((3 * C,), Wqkv.dtype))
     bproj_k = (bproj if bproj is not None else jnp.zeros((C,), Wproj.dtype))
 
     x6 = xp.reshape(B, nwh, ws, nww, ws, C)  # free dimension split
-    r6 = lambda r: r.reshape(B, nwh, ws, nww, ws, nH * ws)
+    if rel_slab:
+        rel_h6, rel_w6 = _rel_projections_slab(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
+    else:
+        rel_h, rel_w = _rel_projections_folded(xp, Wqkv, bqkv, Rh, Rw, ws, nH)
+        r6 = lambda r: r.reshape(B, nwh, ws, nww, ws, nH * ws)
+        rel_h6, rel_w6 = r6(rel_h), r6(rel_w)
+    if grid_ijb:
+        # batch innermost: consecutive programs touch consecutive B rows,
+        # matching Mosaic's B-minor preferred operand layout
+        grid = (nwh, nww, B)
+        wmap = lambda i, j, b: (b, i, 0, j, 0, 0)
+    else:
+        grid = (B, nwh, nww)
+        wmap = lambda b, i, j: (b, i, 0, j, 0, 0)
     win = lambda lanes: pl.BlockSpec(
-        (1, 1, ws, 1, ws, lanes), lambda b, i, j: (b, i, 0, j, 0, 0),
-        memory_space=pltpu.VMEM,
+        (1, 1, ws, 1, ws, lanes), wmap, memory_space=pltpu.VMEM,
     )
     cst = lambda *shape: pl.BlockSpec(
-        shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM,
+        shape, lambda *g: (0,) * len(shape), memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(_kernel, scale=scale, nH=nH, hd=hd, ws=ws)
     # resident weights (bf16): Wqkv + Wproj + qkv buffer + streaming blocks;
     # ViT-H: ~16 MB of weights alone, so raise the scoped-VMEM ceiling
     out6 = pl.pallas_call(
         kernel,
-        grid=(B, nwh, nww),
+        grid=grid,
         in_specs=[
             win(C),
             win(nH * ws), win(nH * ws),
@@ -598,7 +647,7 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
             cst(n, ws), cst(n, ws),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, ws, 1, ws, C), lambda b, i, j: (b, i, 0, j, 0, 0),
+            (1, 1, ws, 1, ws, C), wmap,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, nwh, ws, nww, ws, C), dtype),
@@ -613,7 +662,7 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
             transcendentals=B * nwh * nww * nH * n * n,
         ),
         interpret=interpret,
-    )(x6, r6(rel_h), r6(rel_w),
+    )(x6, rel_h6, rel_w6,
       Wqkv.astype(dtype), bqkv_k.astype(dtype).reshape(1, 3 * C),
       Wproj.astype(dtype), bproj_k.astype(dtype).reshape(1, C),
       eu, ev)
@@ -625,16 +674,19 @@ def _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
            dtype, use_pallas, interpret):
     # use_pallas: False = XLA oracle; True = per-window grid; "row" = one
     # program per window row (big-M qkv/proj matmuls); "qkv_out" = qkv as one
-    # giant matmul outside, attention+proj in-kernel
+    # giant matmul outside, attention+proj in-kernel; "slab"/"ijb"/"slab_ijb"
+    # = per-window grid with the slab rel producer and/or batch-innermost grid
     if use_pallas == "row":
         return _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                            num_heads, dtype=dtype, interpret=interpret)
     if use_pallas == "qkv_out":
         return _pallas_q(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                          num_heads, dtype=dtype, interpret=interpret)
-    if use_pallas:
+    if use_pallas in ("slab", "ijb", "slab_ijb", True):
         return _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
-                       num_heads, dtype=dtype, interpret=interpret)
+                       num_heads, dtype=dtype, interpret=interpret,
+                       rel_slab=use_pallas in ("slab", "slab_ijb"),
+                       grid_ijb=use_pallas in ("ijb", "slab_ijb"))
     return window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                             num_heads, dtype=dtype)
 
@@ -735,8 +787,9 @@ def window_layer_attention(
     (pre-residual).  Pallas on TPU, XLA composition elsewhere.
     variant: None = per-window grid with in-kernel qkv ("block"); "row" = one
     program per window row ("block_row"); "qkv_out" = qkv as one giant
-    outside matmul, attention+proj in-kernel ("blockq").  rows=True is the
-    legacy spelling of variant="row"."""
+    outside matmul, attention+proj in-kernel ("blockq"); "slab" = slab-matmul
+    rel producer; "ijb" = batch-innermost grid; "slab_ijb" = both.
+    rows=True is the legacy spelling of variant="row"."""
     use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
         interpret and not force_xla
     )

@@ -178,7 +178,8 @@ class Attention(nn.Module):
 
         if (self.window_size > 0 and self.use_rel_pos
                 and self.window_attn_impl in ("block", "block_row", "block2",
-                                              "blockq")):
+                                              "blockq", "block_slab",
+                                              "block_ijb", "block_sg")):
             # whole-layer kernel: qkv + window attention + proj in one Pallas
             # call (kernels/fused_window_layer).  Params are declared raw but
             # mirror nn.Dense's tree ({qkv,proj}/{kernel,bias}) exactly.
@@ -217,7 +218,9 @@ class Attention(nn.Module):
                 ws, scale, self.num_heads, dtype=self.dtype,
                 force_xla=self.is_initializing(),
                 variant={"block": None, "block_row": "row",
-                         "blockq": "qkv_out"}[self.window_attn_impl],
+                         "blockq": "qkv_out", "block_slab": "slab",
+                         "block_ijb": "ijb",
+                         "block_sg": "slab_ijb"}[self.window_attn_impl],
             )
 
         # 2-D input to the qkv projection: XLA emits the plain row-major dot
@@ -384,7 +387,8 @@ class Block(nn.Module):
         partition_free = (
             self.window_size > 0
             and self.window_attn_impl in ("fused2", "block", "block_row",
-                                          "block2", "blockq")
+                                          "block2", "blockq", "block_slab",
+                                          "block_ijb", "block_sg")
             and self.use_rel_pos
         )
         # block2: the residual add is fused INTO the window-layer kernel

@@ -257,6 +257,22 @@ def test_qkv_out_variant_matches_oracle_interpret(hw):
                                atol=5e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["slab", "ijb", "slab_ijb"])
+def test_slab_and_grid_variants_match_oracle_interpret(variant):
+    """slab rel producer (per-slot matmuls in the 6-D layout) and the
+    batch-innermost grid vs the XLA oracle, with padding (20->21)."""
+    B, H, W, C, nH, ws = 2, 20, 20, 64, 4, 7
+    xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, hd = _mk(B, H, W, C, nH, ws, seed=11)
+    scale = hd**-0.5
+    ref = window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                           nH, dtype=jnp.float32)
+    got = window_layer_attention(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws,
+                                 scale, nH, dtype=jnp.float32, interpret=True,
+                                 variant=variant)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-5)
+
+
 def test_row_variant_matches_oracle_interpret():
     """Row-of-windows grid (one program per window row) vs the XLA oracle."""
     B, H, W, C, nH, ws = 2, 13, 13, 32, 4, 7  # Hp=Wp=14, nww=2, with padding
