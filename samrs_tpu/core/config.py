@@ -146,13 +146,38 @@ class SamConfig(Config):
     # partition-free — A/B on v5e B=4 ViT-H encode: 57.3 ms/img vs 64.1
     # 'fused') | 'fused' (transpose-free, heads as static lane slices — 63.9
     # vs 88.7 'pallas', 117 'xla') | 'fused2' (partition-free qkv-consuming
-    # kernel) | 'pallas' (per-head window kernel) | 'xla'
+    # kernel) | 'pallas' (per-head window kernel) | 'xla' | measured-negative
+    # experiment variants kept for A/B: 'blockq' (qkv hoisted outside),
+    # 'block_row' (one program per window row), 'block2' (in-kernel window
+    # extraction + residual), 'block_slab' / 'block_ijb' / 'block_sg'
+    # (rel-producer / grid-order variants).  Validated in __post_init__.
     mlp_impl: str = "fused"  # 'fused' = single-pass Pallas MLP (hidden stays
     # in VMEM, gelu evaluated once — A/B on v5e B=4 ViT-H encode: 66.3 ms/img
     # vs 72.8 'xla') | 'xla' (Dense-gelu-Dense, XLA fusion)
     upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
     # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
     # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
+
+    WINDOW_ATTN_IMPLS = ("block", "fused", "fused2", "pallas", "xla",
+                         "blockq", "block_row", "block2", "block_slab",
+                         "block_ijb", "block_sg")
+    MLP_IMPLS = ("fused", "xla")
+    UPSCALE_IMPLS = ("fused", "xla")
+
+    def __post_init__(self) -> None:
+        # typo'd impl names would otherwise silently fall through to the
+        # generic partitioned path — fail loudly instead (ADVICE r3)
+        if self.window_attn_impl not in self.WINDOW_ATTN_IMPLS:
+            raise ValueError(
+                f"unknown window_attn_impl {self.window_attn_impl!r}; "
+                f"have {self.WINDOW_ATTN_IMPLS}")
+        if self.mlp_impl not in self.MLP_IMPLS:
+            raise ValueError(
+                f"unknown mlp_impl {self.mlp_impl!r}; have {self.MLP_IMPLS}")
+        if self.upscale_impl not in self.UPSCALE_IMPLS:
+            raise ValueError(
+                f"unknown upscale_impl {self.upscale_impl!r}; "
+                f"have {self.UPSCALE_IMPLS}")
 
     @property
     def grid_size(self) -> int:

@@ -58,7 +58,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a batch on a (possibly multi-process) mesh, globally.
+
+    Single-process: plain ``device_put``.  Multi-process: each process's
+    loader yields only ITS rows (``DataLoader(process_index=...)``), so the
+    global array must be assembled from per-process local shards via
+    ``jax.make_array_from_process_local_data`` — a bare ``device_put`` would
+    treat the local rows as the whole global value and silently drop the
+    rows owned by other processes' devices.  This is the GSPMD analogue of
+    the reference's DistributedSampler + DDP pairing
+    (ED/main_pretrain.py:111-148).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh, *, axis: str = "data"):
     """Place a host-side pytree of arrays batch-sharded on the mesh."""
     sh = data_sharding(mesh, axis=axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), batch)

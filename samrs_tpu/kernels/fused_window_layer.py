@@ -794,6 +794,9 @@ def window_layer_attention(
         interpret and not force_xla
     )
     if rows:
+        if variant is not None and variant != "row":
+            raise ValueError(
+                f"conflicting arguments: rows=True with variant={variant!r}")
         variant = "row"
     if use_pallas and variant is not None:
         use_pallas = variant

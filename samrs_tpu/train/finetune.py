@@ -22,7 +22,9 @@ import numpy as np
 
 from samrs_tpu.core.checkpoint import load_checkpoint, save_train_state
 from samrs_tpu.core.config import FinetuneConfig
-from samrs_tpu.core.mesh import MeshSpec, make_mesh, data_sharding, replicated
+from samrs_tpu.core.mesh import (
+    MeshSpec, make_mesh, data_sharding, put_global, replicated,
+)
 from samrs_tpu.core.metrics import segmentation_scores
 from samrs_tpu.data.datasets import DataLoader, ISAIDDataset, ISPRSDataset
 from samrs_tpu.data.transforms import EvalAugment, TrainAugment
@@ -167,7 +169,7 @@ def run_finetune(
         losses = []
         for x, y in loader:
             state, metrics = train_step(
-                state, jax.device_put(x, dsh), jax.device_put(y, dsh), dropout_rng
+                state, put_global(x, dsh), put_global(y, dsh), dropout_rng
             )
             losses.append(float(metrics["loss"]))
         scores = evaluate_simple(model, state, dataset_val, eval_step, num_classes, dsh,
@@ -201,7 +203,7 @@ def evaluate_simple(model, state, dataset_val, eval_step, num_classes, dsh, skip
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
             y = np.concatenate([y, np.full((pad, *y.shape[1:]), 255, y.dtype)])
         iu = eval_step(state.params, state.batch_stats,
-                       jax.device_put(x, dsh), jax.device_put(y, dsh))
+                       put_global(x, dsh), put_global(y, dsh))
         inter += np.asarray(iu[0])
         target += np.asarray(iu[1])
         union += np.asarray(iu[2])

@@ -26,7 +26,9 @@ import numpy as np
 
 from samrs_tpu.core.checkpoint import load_train_state, save_train_state
 from samrs_tpu.core.config import PretrainConfig
-from samrs_tpu.core.mesh import MeshSpec, make_mesh, data_sharding, replicated
+from samrs_tpu.core.mesh import (
+    MeshSpec, make_mesh, data_sharding, put_global, replicated,
+)
 from samrs_tpu.core.metrics import segmentation_scores
 from samrs_tpu.data.datasets import DataLoader, SegmentationDataset, infinite_loader
 from samrs_tpu.data.transforms import EvalAugment, TrainAugment
@@ -230,9 +232,7 @@ def run_pretrain(
         batches = []
         for ld in loaders:
             x, y = next(ld)
-            batches.append(
-                (jax.device_put(x, dsh), jax.device_put(y, dsh))
-            )
+            batches.append((put_global(x, dsh), put_global(y, dsh)))
         state, metrics = train_step(state, tuple(batches), dropout_rng)
         it += 1
         if it % 50 == 0 or it == total:
@@ -307,19 +307,15 @@ def evaluate(cfg, model, state, datasets_val, eval_steps, num_classes, dsh) -> f
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                 y = np.concatenate([y, np.full((pad, *y.shape[1:]), 255, y.dtype)])
             iu = eval_steps[i](state.params, state.batch_stats,
-                               jax.device_put(x, dsh), jax.device_put(y, dsh))
+                               put_global(x, dsh), put_global(y, dsh))
+            # the eval step runs over the GLOBAL batch (put_global assembles
+            # every process's rows), so the histograms XLA hands back are
+            # already cross-host-reduced — GSPMD subsumes the reference's
+            # per-rank histograms + dist.all_reduce (ED/main_pretrain.py:486).
+            # iu is fully replicated; np.asarray is valid on every process.
             inter += np.asarray(iu[0])
             target += np.asarray(iu[1])
             union += np.asarray(iu[2])
-        if jax.process_count() > 1:
-            # cross-host histogram reduction (the reference's dist.all_reduce,
-            # ED/main_pretrain.py:486)
-            from jax.experimental import multihost_utils
-
-            stacked = multihost_utils.process_allgather(
-                np.stack([inter, target, union])
-            )
-            inter, target, union = stacked.sum(axis=0)
         scores = segmentation_scores(inter, target, union)
         logger.info("val[%s]: mIoU %.4f allAcc %.4f", name, scores["miou"], scores["all_acc"])
         mious.append(scores["miou"])

@@ -57,11 +57,12 @@ for impl in ("blockq", "block"):
     float(c)
     dt = (time.perf_counter() - t0) / iters / B * 1000
     results[impl] = dt
-    outs[impl] = np.asarray(f[:1, :8, :8, :4], np.float32)
+    outs[impl] = np.asarray(f, np.float32)  # FULL tensor, not a sample slice
     print(f"{impl}: {dt:.2f} ms/img", flush=True)
 
 if "block" in outs and "blockq" in outs:
     d = np.abs(outs["block"] - outs["blockq"]).max()
     r = np.abs(outs["block"]).max()
-    print(f"output sample max abs diff blockq vs block: {d:.6f} (ref mag {r:.3f})", flush=True)
+    print(f"output FULL max abs diff blockq vs block: {d:.6f} (ref mag {r:.3f})", flush=True)
+    assert d == 0.0, f"blockq is not bit-identical to block: max abs diff {d}"
 print({k: round(v, 2) for k, v in results.items()}, flush=True)
