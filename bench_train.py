@@ -85,10 +85,19 @@ def main(backbone: str = "vit_b_rvsa", decoder: str = "upernet",
 
 
 if __name__ == "__main__":
+    # bench_train.py [backbone] [decoder] [batch] [image_size] [flags...]
+    # flags: remat, fused_mlp (set_default_mlp_impl("fused") for backbones
+    # that default to the XLA MLP at small maps)
     a = sys.argv[1:]
+    flags = set(a[4:])
+    if "fused_mlp" in flags:
+        from samrs_tpu.nn import layers
+
+        layers.set_default_mlp_impl("fused")
     main(
         backbone=a[0] if len(a) > 0 else "vit_b_rvsa",
         decoder=a[1] if len(a) > 1 else "upernet",
         batch=int(a[2]) if len(a) > 2 else 96,
-        remat=len(a) > 3 and a[3] == "remat",
+        image_size=int(a[3]) if len(a) > 3 else 224,
+        remat="remat" in flags,
     )

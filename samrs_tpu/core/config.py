@@ -157,12 +157,18 @@ class SamConfig(Config):
     upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
     # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
     # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
+    global_attn_impl: str = "split"  # global-attention flash-kernel variant:
+    # 'aug' = rel-pos folded into the qk matmul via augmented 128-aligned
+    # per-head q/k segments (one MXU op per head) | 'split' = separate
+    # in-kernel rel matmuls accumulated on the VPU (the r3 kernel).
+    # Default pending the on-TPU A/B (scratch/ab_globals.py).
 
     WINDOW_ATTN_IMPLS = ("block", "fused", "fused2", "pallas", "xla",
                          "blockq", "block_row", "block2", "block_slab",
                          "block_ijb", "block_sg")
     MLP_IMPLS = ("fused", "xla")
     UPSCALE_IMPLS = ("fused", "xla")
+    GLOBAL_ATTN_IMPLS = ("aug", "split")
 
     def __post_init__(self) -> None:
         # typo'd impl names would otherwise silently fall through to the
@@ -178,6 +184,10 @@ class SamConfig(Config):
             raise ValueError(
                 f"unknown upscale_impl {self.upscale_impl!r}; "
                 f"have {self.UPSCALE_IMPLS}")
+        if self.global_attn_impl not in self.GLOBAL_ATTN_IMPLS:
+            raise ValueError(
+                f"unknown global_attn_impl {self.global_attn_impl!r}; "
+                f"have {self.GLOBAL_ATTN_IMPLS}")
 
     @property
     def grid_size(self) -> int:

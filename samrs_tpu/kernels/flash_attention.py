@@ -256,8 +256,115 @@ def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False):
     )(qkv_raw, qkv_raw, rel_h, rel_w, eu, ew)
 
 
+def _qkv_aug_kernel(qa_ref, ka_ref, va_ref, o_ref, *, nH, hd, seg, vseg):
+    qa = qa_ref[0]   # (TQ, nH*seg) — [q*scale, rel_h, rel_w, 0-pad] per head
+    ka = ka_ref[0]   # (N,  nH*seg) — [k, onehot_kh, onehot_kw, 0-pad]
+    va = va_ref[0]   # (N,  nH*vseg) — [v, ones, 0-pad]
+    outs = []
+    for h in range(nH):  # static unroll; 128-aligned lane slices
+        s = jax.lax.dot_general(
+            qa[:, h * seg:(h + 1) * seg], ka[:, h * seg:(h + 1) * seg],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, N) = scaled logits + rel_h + rel_w, ONE MXU op
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        o = jax.lax.dot_general(
+            p.astype(va.dtype), va[:, h * vseg:(h + 1) * vseg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, vseg): softmax row-sum rides lane hd (the 80->128 MXU
+        #    output tile is computed either way, so the ones lane is free)
+        outs.append((o[:, :hd] / o[:, hd:hd + 1]).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)  # (TQ, C)
+
+
+def _qkv_flash_aug_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
+                          interpret=False, tq=256):
+    """Augmented-K global attention: the decomposed rel-pos bias is folded
+    into the qk matmul (the window-layer kernel's trick applied to the
+    global layers).
+
+    Motivation (r3 trace): the 4 ViT-H global layers cost 7.2 ms/iter each
+    vs 2.1 for a windowed layer on near-identical matmul FLOPs.  The split
+    kernel (`_qkv_flash_kernel`) spends ~2 ms/layer on two fp32 (TQ, N)
+    VPU adds accumulating the rel matmuls into the logits and ~0.7 ms on
+    per-head in-kernel v||ones concats.  Here every head's q/k rows are
+    augmented OUTSIDE to one 128-aligned segment
+        q' = [q*scale, rel_h_q, rel_w_q, 0...]   k' = [k, e_kh, e_kw, 0...]
+    so s = q'.k' is ONE bf16 MXU op per head (same FLOPs: the contraction
+    dim 208 occupies two 128-lane tiles either way), and v carries its
+    softmax-sum ones lane in the free tail of its (N, 128) output tile.
+    """
+    H, W = hw
+    B, N, threeC = qkv_raw.shape
+    C = threeC // 3
+    nH = num_heads
+    hd = C // nH
+    kh, kw = H, W
+    if N % tq != 0:
+        tq = TQ
+    assert N == H * W and N % tq == 0
+    dt = qkv_raw.dtype
+    seg = -(-(hd + kh + kw) // 128) * 128
+    vseg = -(-(hd + 1) // 128) * 128
+    q4 = qkv_raw[..., :C].reshape(B, N, nH, hd)
+    k4 = qkv_raw[..., C:2 * C].reshape(B, N, nH, hd)
+    v4 = qkv_raw[..., 2 * C:].reshape(B, N, nH, hd)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4.reshape(B, H, W, nH, hd),
+                       Rh.astype(dt), preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4.reshape(B, H, W, nH, hd),
+                       Rw.astype(dt), preferred_element_type=jnp.float32)
+    zq = jnp.zeros((B, N, nH, seg - hd - kh - kw), dt)
+    q_aug = jnp.concatenate(
+        [(q4 * scale).astype(dt),
+         rel_h.reshape(B, N, nH, kh).astype(dt),
+         rel_w.reshape(B, N, nH, kw).astype(dt), zq], axis=-1,
+    ).reshape(B, N, nH * seg)
+    eu, ew = onehot_expansions(kh, kw, dt)
+    k_aug = jnp.concatenate(
+        [k4.astype(dt),
+         jnp.broadcast_to(eu[None, :, None, :], (B, N, nH, kh)),
+         jnp.broadcast_to(ew[None, :, None, :], (B, N, nH, kw)), zq], axis=-1,
+    ).reshape(B, N, nH * seg)
+    v_aug = jnp.concatenate(
+        [v4.astype(dt), jnp.ones((B, N, nH, 1), dt),
+         jnp.zeros((B, N, nH, vseg - hd - 1), dt)], axis=-1,
+    ).reshape(B, N, nH * vseg)
+    kernel = functools.partial(_qkv_aug_kernel, nH=nH, hd=hd, seg=seg,
+                               vseg=vseg)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, nH * seg), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, nH * seg), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, nH * vseg), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            # resident per batch row at ViT-H: k_aug 32 MB + v_aug 16 MB
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nH * N * N * (seg + vseg),
+            bytes_accessed=2 * B * N * nH * (2 * seg + vseg),
+            transcendentals=B * nH * N * N,
+        ),
+        interpret=interpret,
+    )(q_aug, k_aug, v_aug)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas, interpret):
+    if use_pallas == "aug":
+        return _qkv_flash_aug_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
+                                     interpret)
     if use_pallas:
         return _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret)
     return attention_qkv_relpos_xla(qkv_raw, Rh, Rw, hw, scale, num_heads)
@@ -290,15 +397,22 @@ def flash_attention_qkv_relpos(
     num_heads: int,
     force_xla: bool = False,
     interpret: bool = False,
+    variant: str = "aug",
 ) -> jnp.ndarray:
     """Transpose-free global attention: heads are in-kernel static lane
     slices of the raw qkv tensor; output is (B, N, C), proj-ready.  Replaces
     the (B,N,3,nH,hd)->(3,B*nH,N,hd) layout copies of the split-head path
-    (~1.3 ms/layer on the ViT-H globals, B=4)."""
+    (~1.3 ms/layer on the ViT-H globals, B=4).
+
+    variant: "aug" = rel-pos folded into the qk matmul via augmented
+    128-aligned per-head q/k segments (default); "split" = separate in-kernel
+    rel matmuls accumulated on the VPU."""
     B, N, _ = qkv_raw.shape
     use_pallas = (
         not force_xla and jax.default_backend() == "tpu" and N % TQ == 0
     ) or (interpret and not force_xla)
+    if use_pallas and variant == "aug":
+        use_pallas = "aug"
     return _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas,
                           interpret)
 

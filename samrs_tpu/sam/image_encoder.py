@@ -161,6 +161,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    global_attn_impl: str = "aug"
     # >0 = partition-free mode ("fused2"): x arrives UNPARTITIONED (B,H,W,C)
     # and the window tiling happens inside the Pallas kernel's BlockSpecs
     window_size: int = 0
@@ -304,7 +305,7 @@ class Attention(nn.Module):
             Rw = get_rel_pos(W, W, rel_pos_w)
             out = flash_attention_qkv_relpos(
                 qkv_raw.reshape(B, H * W, 3 * self.dim), Rh, Rw, (H, W), scale,
-                self.num_heads,
+                self.num_heads, variant=self.global_attn_impl,
             )
             out = out.reshape(B, H, W, self.dim)
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
@@ -368,6 +369,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    global_attn_impl: str = "aug"
     mlp_impl: str = "xla"
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
@@ -411,6 +413,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             window_attn_impl=self.window_attn_impl,
+            global_attn_impl=self.global_attn_impl,
             window_size=self.window_size if partition_free else 0,
             sp_mesh=self.sp_mesh if self.window_size == 0 else None,
             sp_axis=self.sp_axis,
@@ -469,6 +472,7 @@ class ImageEncoderViT(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
+    global_attn_impl: str = "aug"
     mlp_impl: str = "xla"
     patch_embed_impl: str = "matmul"  # 'matmul' (patch-flatten + dot) | 'conv'
     sp_mesh: Optional[Any] = None
@@ -523,6 +527,7 @@ class ImageEncoderViT(nn.Module):
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 window_attn_impl=self.window_attn_impl,
+                global_attn_impl=self.global_attn_impl,
                 mlp_impl=self.mlp_impl,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,

@@ -1,0 +1,257 @@
+"""One-command real-checkpoint parity gate (VERDICT r3 item 5).
+
+Given an official ``sam_vit_*.pth`` checkpoint, runs the BASELINE.json
+configs #1-#3 prompt styles (HBB semantic, HBB instance, rotated-box
+instance) through OUR predictor and — when torch + the reference repo are
+importable — the REFERENCE predictor in-process on the same tiles, and
+writes ``PARITY.json`` with per-mask IoU stats against the >=0.99 north
+star (BASELINE.json "north_star"; reference load path
+GD/segment_anything/build_sam.py:103-106).
+
+Usage:
+    python -m samrs_tpu.tools.parity_gate --weights sam_vit_h_4b8939.pth \
+        [--variant vit_h] [--image-dir DIR] [--out PARITY.json]
+    python -m samrs_tpu.tools.parity_gate --random-init --variant vit_b ...
+
+Without ``--image-dir`` the gate generates deterministic synthetic 1024^2
+tiles (the real SOTA/SIOR/FAST tiles are not in this environment); with it,
+each ``*.png`` in the directory is used as a tile.  ``--random-init`` skips
+the weights file and ports a deterministically random-initialized reference
+model instead — the numeric path is identical, only the weight values
+differ, so it doubles as the CI exercise of this gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+IOU_BAR = 0.99
+
+
+def _synthetic_tiles(n: int, size: int = 1024, seed: int = 0) -> List[np.ndarray]:
+    """Deterministic structured tiles (blobs + gradients, not pure noise, so
+    masks have real boundaries to disagree on)."""
+    rng = np.random.default_rng(seed)
+    tiles = []
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    for _ in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        img[..., 0] = xx / size * 120
+        img[..., 1] = yy / size * 120
+        for _ in range(24):
+            cx, cy = rng.uniform(0, size, 2)
+            r = rng.uniform(12, 90)
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r)))
+            img[..., rng.integers(0, 3)] += blob * rng.uniform(60, 160)
+        img += rng.normal(0, 4, img.shape)
+        tiles.append(np.clip(img, 0, 255).astype(np.uint8))
+    return tiles
+
+
+def _boxes_for(size: int, n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, size * 0.8, (n, 2))
+    wh = rng.uniform(size * 0.03, size * 0.2, (n, 2))
+    return np.concatenate([xy, np.minimum(xy + wh, size - 1)], axis=1).astype(np.float32)
+
+
+def _rboxes_for(size: int, n: int, seed: int) -> np.ndarray:
+    """Rotated boxes as 4-corner polygons (cx, cy, w, h, theta -> corners),
+    the FAST-style prompt (GD/main_sam_rbox_mask_instance.py)."""
+    rng = np.random.default_rng(seed)
+    margin = size * 0.15
+    out = []
+    for _ in range(n):
+        cx, cy = rng.uniform(margin, size - margin, 2)
+        w, h = rng.uniform(size * 0.03, size * 0.18, 2)
+        th = rng.uniform(0, np.pi)
+        c, s = np.cos(th), np.sin(th)
+        pts = np.array([[-w, -h], [w, -h], [w, h], [-w, h]], np.float32) / 2
+        rot = pts @ np.array([[c, s], [-s, c]], np.float32)
+        out.append(rot + [cx, cy])
+    return np.clip(np.stack(out), 0, size - 1).astype(np.float32)
+
+
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = a.reshape(a.shape[0], -1).astype(bool)
+    b = b.reshape(b.shape[0], -1).astype(bool)
+    inter = (a & b).sum(1)
+    union = (a | b).sum(1)
+    return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+
+
+def _ours_predict(model, variables, img, boxes) -> np.ndarray:
+    from samrs_tpu.sam.predictor import SamPredictor
+
+    pred = SamPredictor(model, variables)
+    pred.set_image(img)
+    masks, _, _ = pred.predict_boxes(boxes)
+    return np.asarray(masks)
+
+
+def _reference_predict(ref_sam, img, boxes) -> Optional[np.ndarray]:
+    """Reference SamPredictor path (GD/segment_anything/predictor.py),
+    one box at a time like main_sam_hbox_semantic.py:93-219's batching."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tests"))
+    from segment_anything import SamPredictor as RefPredictor  # noqa: already on path
+
+    pred = RefPredictor(ref_sam)
+    pred.set_image(img)
+    tb = torch.from_numpy(boxes)
+    tb = pred.transform.apply_boxes_torch(tb, img.shape[:2])
+    with torch.no_grad():
+        masks, _, _ = pred.predict_torch(
+            point_coords=None, point_labels=None, boxes=tb,
+            multimask_output=False,
+        )
+    return masks[:, 0].cpu().numpy()
+
+
+def run_gate(
+    weights: Optional[str],
+    variant: str,
+    image_dir: Optional[str],
+    out_path: str,
+    n_tiles: int = 2,
+    boxes_per_tile: int = 8,
+    random_init: bool = False,
+    with_reference: bool = True,
+    cfg_overrides: Optional[Dict] = None,
+) -> Dict:
+    import jax
+
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.geometry.obb import poly_to_hbb
+    from samrs_tpu.sam.port import load_torch_sam_checkpoint
+    from samrs_tpu.sam.sam import Sam
+
+    on_tpu = jax.default_backend() == "tpu"
+    kw = dict(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_flash_attention=on_tpu,
+    )
+    kw.update(cfg_overrides or {})
+    cfg = sam_config(variant, **kw)
+    model = Sam(cfg)
+
+    ref_sam = None
+    if random_init:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests"))
+        from _torch_ref import build_ref_sam, ported_flax_sam
+
+        ref_sam = build_ref_sam(cfg, seed=0)
+        model, variables = ported_flax_sam(ref_sam, cfg)
+    else:
+        assert weights, "--weights required unless --random-init"
+        variables = load_torch_sam_checkpoint(weights, cfg)
+        if with_reference:
+            try:
+                sys.path.insert(0, os.path.join(os.path.dirname(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                    "tests"))
+                import torch
+
+                from _torch_ref import build_ref_sam
+
+                ref_sam = build_ref_sam(cfg, seed=0)
+                sd = torch.load(weights, map_location="cpu", weights_only=True)
+                ref_sam.load_state_dict(sd)
+                ref_sam.eval()
+            except Exception as e:  # reference optional: record + continue
+                print(f"[parity_gate] reference unavailable: {e}", file=sys.stderr)
+                ref_sam = None
+
+    if image_dir:
+        from PIL import Image
+
+        tiles = [
+            np.asarray(Image.open(os.path.join(image_dir, f)).convert("RGB"))
+            for f in sorted(os.listdir(image_dir))
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        ][:n_tiles]
+    else:
+        tiles = _synthetic_tiles(n_tiles, size=cfg.image_size)
+
+    configs = []
+    all_ious: List[float] = []
+    for ci, (name, prompt_kind) in enumerate([
+        ("#1 HBB semantic (SOTA-style)", "hbox"),
+        ("#2 HBB instance (SIOR-style)", "hbox"),
+        ("#3 RBox instance (FAST-style)", "rbox"),
+    ]):
+        tile = tiles[ci % len(tiles)]
+        size = max(tile.shape[:2])
+        if prompt_kind == "hbox":
+            boxes = _boxes_for(size, boxes_per_tile, seed=100 + ci)
+        else:
+            polys = _rboxes_for(size, boxes_per_tile, seed=100 + ci)
+            boxes = poly_to_hbb(polys.reshape(boxes_per_tile, 8)).astype(np.float32)
+        t0 = time.perf_counter()
+        ours = _ours_predict(model, variables, tile, boxes)
+        ours_s = time.perf_counter() - t0
+        entry = {
+            "config": name,
+            "prompt": prompt_kind,
+            "n_masks": int(ours.shape[0]),
+            "ours_s": round(ours_s, 2),
+            "mask_px": int(ours.sum()),
+        }
+        if ref_sam is not None:
+            t0 = time.perf_counter()
+            ref = _reference_predict(ref_sam, tile, boxes)
+            entry["reference_s"] = round(time.perf_counter() - t0, 2)
+            ious = _mask_iou(ours.reshape(ref.shape), ref)
+            all_ious.extend(ious.tolist())
+            entry["iou_min"] = float(ious.min())
+            entry["iou_mean"] = float(ious.mean())
+            entry["pass"] = bool(ious.min() >= IOU_BAR)
+        configs.append(entry)
+
+    result = {
+        "weights": weights or "(random-init reference port)",
+        "variant": variant,
+        "iou_bar": IOU_BAR,
+        "configs": configs,
+        "reference_compared": ref_sam is not None,
+    }
+    if all_ious:
+        result["iou_min"] = float(np.min(all_ious))
+        result["iou_mean"] = float(np.mean(all_ious))
+        result["verdict"] = "PASS" if result["iou_min"] >= IOU_BAR else "FAIL"
+    else:
+        result["verdict"] = "NO_REFERENCE"
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items() if k != "configs"}))
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--weights", default=None, help="official sam_vit_*.pth")
+    ap.add_argument("--variant", default="vit_h")
+    ap.add_argument("--image-dir", default=None)
+    ap.add_argument("--out", default="PARITY.json")
+    ap.add_argument("--tiles", type=int, default=2)
+    ap.add_argument("--boxes", type=int, default=8)
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--no-reference", action="store_true",
+                    help="skip the in-process torch reference comparison")
+    a = ap.parse_args()
+    r = run_gate(a.weights, a.variant, a.image_dir, a.out, a.tiles, a.boxes,
+                 random_init=a.random_init, with_reference=not a.no_reference)
+    return 0 if r["verdict"] in ("PASS", "NO_REFERENCE") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
