@@ -141,7 +141,11 @@ class SamConfig(Config):
     # accumulate in fp32; measured per-mask IoU vs fp32 >= 0.990
     decode_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas kernel for the global-attn layers
-    window_attn_impl: str = "block"  # 'block' (whole-window-layer Pallas
+    window_attn_impl: str = "block_ijb"  # 'block_ijb' = whole-window-layer
+    # kernel with the batch-innermost grid: kills the ~51 MB pallas-operand
+    # relayout copy per layer (A/B inside the full ViT-H B=4 encode,
+    # 2026-08-19: 53.63 vs 53.99 ms/img 'block', bit-identical outputs).
+    # 'block' (whole-window-layer Pallas
     # kernel: qkv + attention + proj in one call, weights resident in VMEM,
     # partition-free — A/B on v5e B=4 ViT-H encode: 57.3 ms/img vs 64.1
     # 'fused') | 'fused' (transpose-free, heads as static lane slices — 63.9

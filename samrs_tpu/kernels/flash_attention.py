@@ -280,7 +280,10 @@ def _qkv_aug_kernel(qa_ref, ka_ref, va_ref, o_ref, *, nH, hd, seg, vseg):
 
 
 def _qkv_flash_aug_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
-                          interpret=False, tq=256):
+                          interpret=False, tq=128):
+    # tq=256 crashes the v5e AOT compiler whenever B > 1 (tpu_compile_helper
+    # exit 1, 2026-08-19 bisect in scratch/dbg_aug2.py); 128 compiles and
+    # is the measured default.
     """Augmented-K global attention: the decomposed rel-pos bias is folded
     into the qk matmul (the window-layer kernel's trick applied to the
     global layers).
