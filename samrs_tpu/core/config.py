@@ -161,6 +161,11 @@ class SamConfig(Config):
     upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
     # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
     # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
+    twoway_impl: str = "xla"  # TwoWayTransformer decode: 'fused' = image-side
+    # Pallas sweeps (kernels/fused_twoway.py: one kv-projection pass + one
+    # pass per layer fusing q-proj + i2t attention + out-proj + residual +
+    # norm4 + the next t2i K/V) | 'xla' (module composition).  Default
+    # pending the on-TPU A/B (scratch/ab_twoway.py).
     global_attn_impl: str = "split"  # global-attention flash-kernel variant:
     # 'aug' = rel-pos folded into the qk matmul via augmented 128-aligned
     # per-head q/k segments (one MXU op per head) | 'split' = separate
@@ -172,7 +177,8 @@ class SamConfig(Config):
                          "block_ijb", "block_sg")
     MLP_IMPLS = ("fused", "xla")
     UPSCALE_IMPLS = ("fused", "xla")
-    GLOBAL_ATTN_IMPLS = ("aug", "split")
+    GLOBAL_ATTN_IMPLS = ("aug", "split", "exp2")
+    TWOWAY_IMPLS = ("fused", "xla")
 
     def __post_init__(self) -> None:
         # typo'd impl names would otherwise silently fall through to the
@@ -192,6 +198,10 @@ class SamConfig(Config):
             raise ValueError(
                 f"unknown global_attn_impl {self.global_attn_impl!r}; "
                 f"have {self.GLOBAL_ATTN_IMPLS}")
+        if self.twoway_impl not in self.TWOWAY_IMPLS:
+            raise ValueError(
+                f"unknown twoway_impl {self.twoway_impl!r}; "
+                f"have {self.TWOWAY_IMPLS}")
 
     @property
     def grid_size(self) -> int:

@@ -161,18 +161,25 @@ def attention_qkv_relpos_xla(qkv_raw, Rh, Rw, hw, scale, num_heads):
     return out.astype(qkv_raw.dtype)
 
 
+LOG2E = 1.4426950408889634  # base-2 softmax: exp(x) = exp2(x*log2e), and
+# softmax is invariant to the base change when the SAME factor multiplies
+# every logit term — so log2e is folded into scale and the rel tables
+# OUTSIDE the kernel and the VPU runs its native exp2 without the
+# per-element x*log2e multiply ((TQ, N) fp32 per head per program).
+
+
 def _qkv_flash_kernel(qt_ref, kv_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
-                      *, scale, nH, hd, kh, kw):
+                      *, scale, nH, hd, kh, kw, exp2=False):
     C = nH * hd
     qt = qt_ref[0]     # (TQ, 3C) — only the q lanes are used
     kv = kv_ref[0]     # (N, 3C) — whole sequence, resident per batch row
-    rh = rh_ref[0]     # (TQ, nH*kh)
+    rh = rh_ref[0]     # (TQ, nH*kh) — pre-scaled by log2e when exp2=True
     rw = rw_ref[0]
     eu = eu_ref[...]   # (N, kh) one-hot expansions
     ev = ev_ref[...]
     outs = []
     for h in range(nH):  # static unroll; all slices at static lane offsets
-        q = qt[:, h * hd:(h + 1) * hd] * scale
+        q = qt[:, h * hd:(h + 1) * hd] * (scale * LOG2E if exp2 else scale)
         k = kv[:, C + h * hd:C + (h + 1) * hd]
         v = kv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
         s = jax.lax.dot_general(
@@ -192,7 +199,7 @@ def _qkv_flash_kernel(qt_ref, kv_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
             preferred_element_type=jnp.float32,
         )
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m) if exp2 else jnp.exp(s - m)
         # softmax row-sum rides the PV matmul as a ones lane (hd+1 pads into
         # the same 128-lane MXU tile); the divide then touches (TQ, hd)
         # instead of (TQ, N) — the kernel is VPU-bound
@@ -205,7 +212,8 @@ def _qkv_flash_kernel(qt_ref, kv_ref, rh_ref, rw_ref, eu_ref, ev_ref, o_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1)  # (TQ, C)
 
 
-def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False):
+def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False,
+                      exp2=False):
     H, W = hw
     B, N, threeC = qkv_raw.shape
     C = threeC // 3
@@ -215,16 +223,19 @@ def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False):
     assert N == H * W and N % TQ == 0
     dt = qkv_raw.dtype
     # per-token rel projections for ALL heads, packed along lanes
+    # (log2e folded into the table when the kernel softmaxes in base 2)
     q4 = qkv_raw[..., :C].reshape(B, H, W, nH, hd)
-    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4, Rh.astype(dt),
+    Rh_t = (Rh * LOG2E if exp2 else Rh).astype(dt)
+    Rw_t = (Rw * LOG2E if exp2 else Rw).astype(dt)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4, Rh_t,
                        preferred_element_type=jnp.float32)
-    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4, Rw.astype(dt),
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4, Rw_t,
                        preferred_element_type=jnp.float32)
     rel_h = rel_h.reshape(B, N, nH * kh).astype(dt)
     rel_w = rel_w.reshape(B, N, nH * kw).astype(dt)
     eu, ew = onehot_expansions(kh, kw, dt)
     kernel = functools.partial(_qkv_flash_kernel, scale=scale, nH=nH, hd=hd,
-                               kh=kh, kw=kw)
+                               kh=kh, kw=kw, exp2=exp2)
     return pl.pallas_call(
         kernel,
         grid=(B, N // TQ),
@@ -368,6 +379,9 @@ def _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas, interpret)
     if use_pallas == "aug":
         return _qkv_flash_aug_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
                                      interpret)
+    if use_pallas == "exp2":
+        return _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
+                                 interpret, exp2=True)
     if use_pallas:
         return _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret)
     return attention_qkv_relpos_xla(qkv_raw, Rh, Rw, hw, scale, num_heads)
@@ -407,15 +421,18 @@ def flash_attention_qkv_relpos(
     the (B,N,3,nH,hd)->(3,B*nH,N,hd) layout copies of the split-head path
     (~1.3 ms/layer on the ViT-H globals, B=4).
 
-    variant: "aug" = rel-pos folded into the qk matmul via augmented
-    128-aligned per-head q/k segments (default); "split" = separate in-kernel
-    rel matmuls accumulated on the VPU."""
+    variant: "split" = separate in-kernel rel matmuls accumulated on the VPU;
+    "exp2" = split with base-2 softmax (log2e folded into scale + rel tables,
+    native VPU exp2, no per-element x*log2e multiply); "aug" = rel-pos folded
+    into the qk matmul via augmented 128-aligned per-head q/k segments
+    (measured-negative: 54.00 vs 53.64 ms/img split, full ViT-H B=4 encode —
+    the q/k/v_aug concat HBM traffic eats the MXU fusion gain)."""
     B, N, _ = qkv_raw.shape
     use_pallas = (
         not force_xla and jax.default_backend() == "tpu" and N % TQ == 0
     ) or (interpret and not force_xla)
-    if use_pallas and variant == "aug":
-        use_pallas = "aug"
+    if use_pallas and variant in ("aug", "exp2"):
+        use_pallas = variant
     return _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas,
                           interpret)
 

@@ -1,0 +1,270 @@
+"""Fused image-side sweeps for the SAM TwoWayTransformer decode.
+
+Behavioral reference: GD/segment_anything/modeling/transformer.py:16-240.
+At generation bucket 64 the image side of the decoder is (64, 4096, 256)
+fp32, and the r4 decode trace (12.68 ms/call, one image, 64 boxes) shows it
+dominated by ~10 separate full sweeps of that tensor per decode:
+k_proj/v_proj/q_proj dot fusions ~490 us each, i2t out_proj 520-900 us,
+plus LayerNorm/residual/PE-add loop fusions.  Token-side work (<=12 tokens)
+is negligible and stays in XLA.
+
+Two kernels reduce the image side to THREE sweeps total:
+
+  * ``t2i_kv_proj`` — one pass emitting the token->image attention's
+    K = (keys + pe) @ Wk and V = keys @ Wv (run once, on the initial src).
+  * ``i2t_update`` — one pass per two-way layer fusing the ENTIRE
+    image->token update: q-projection of (keys + pe), 8-head attention
+    against the <=128 token slots (additive mask bias for padding),
+    out-projection, residual add, norm4 LayerNorm, AND the NEXT layer's
+    t2i K/V projections of the freshly normed keys (so the following
+    token->image attention needs no extra sweep).
+
+Matmuls run in the compute dtype (bf16 on TPU) with fp32 accumulation —
+same policy as kernels/fused_upscale.py; softmax and LayerNorm stats in
+fp32.  Forward-only; backward falls back to the XLA composition via
+custom_vjp (generation never trains SAM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NT = 128     # padded token slots (>= iou + mask tokens + sparse prompts)
+TROWS = 512  # image rows per program
+
+
+def _dot(a, w, dtype):
+    return jax.lax.dot_general(
+        a.astype(dtype), w.astype(dtype),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+def t2i_kv_proj_xla(keys, key_pe, Wk, bk, Wv, bv, dtype=jnp.bfloat16):
+    """keys (B,N,C) fp32; key_pe (N,C).  Returns (k, v) each (B,N,Ci)."""
+    k = _dot(keys + key_pe[None], Wk, dtype) + bk
+    v = _dot(keys, Wv, dtype) + bv
+    return k.astype(dtype), v.astype(dtype)
+
+
+def i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
+                   g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads,
+                   dtype=jnp.bfloat16, eps=1e-5):
+    """Fused image->token update, XLA composition (the exact reference math
+    modulo compute dtype).
+
+    keys (B,N,C) fp32; tok_k/tok_v (B,NT,Ci) padded token K/V; mask_bias
+    (NT,) additive logit bias (-inf on pad slots).  Returns
+    (keys2 (B,N,C) fp32, k_next (B,N,Ci) dtype, v_next (B,N,Ci) dtype).
+    """
+    B, N, C = keys.shape
+    Ci = Wq.shape[1]
+    hd = Ci // num_heads
+    q = _dot(keys + key_pe[None], Wq, dtype) + bq          # (B,N,Ci) fp32
+    qh = q.reshape(B, N, num_heads, hd)
+    kh = tok_k.astype(jnp.float32).reshape(B, NT, num_heads, hd)
+    vh = tok_v.astype(jnp.float32).reshape(B, NT, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / (hd ** 0.5)
+    s = s + mask_bias[None, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, N, Ci)
+    out = _dot(o, Wout, dtype) + bout
+    res = keys + out.astype(jnp.float32)
+    mu = res.mean(-1, keepdims=True)
+    var = ((res - mu) ** 2).mean(-1, keepdims=True)
+    keys2 = (res - mu) / jnp.sqrt(var + eps) * g4 + b4
+    k_n = _dot(keys2 + key_pe[None], Wk_n, dtype) + bk_n
+    v_n = _dot(keys2, Wv_n, dtype) + bv_n
+    return keys2, k_n.astype(dtype), v_n.astype(dtype)
+
+
+# ---------------------------------------------------------------- kernels
+
+def _kv_kernel(keys_ref, pe_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               k_ref, v_ref, *, dtype):
+    keys = keys_ref[0]                       # (T, C) fp32
+    kpe = keys + pe_ref[...].astype(jnp.float32)
+    k_ref[0] = (_dot(kpe, wk_ref[...], dtype) + bk_ref[...]).astype(k_ref.dtype)
+    v_ref[0] = (_dot(keys, wv_ref[...], dtype) + bv_ref[...]).astype(v_ref.dtype)
+
+
+def _i2t_kernel(keys_ref, pe_ref, tk_ref, tv_ref, mb_ref,
+                wq_ref, bq_ref, wo_ref, bo_ref, g4_ref, b4_ref,
+                wkn_ref, bkn_ref, wvn_ref, bvn_ref,
+                keys2_ref, kn_ref, vn_ref, *, num_heads, dtype, eps):
+    keys = keys_ref[0]                       # (T, C) fp32
+    pe = pe_ref[...].astype(jnp.float32)     # (T, C)
+    tk = tk_ref[0]                           # (NT, Ci)
+    tv = tv_ref[0]
+    mb = mb_ref[...]                         # (1, NT) additive bias
+    Ci = tk.shape[-1]
+    hd = Ci // num_heads
+    scale = hd ** -0.5
+    q = _dot(keys + pe, wq_ref[...], dtype) + bq_ref[...]  # (T, Ci) fp32
+    outs = []
+    for h in range(num_heads):               # static lane slices
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = tk[:, h * hd:(h + 1) * hd]
+        vh = tv[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            (qh * scale).astype(dtype), kh.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + mb                               # (T, NT)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        d = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(dtype), vh.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / d)
+    o = jnp.concatenate(outs, axis=-1)       # (T, Ci) fp32
+    out = _dot(o, wo_ref[...], dtype) + bo_ref[...]
+    res = keys + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    keys2 = (res - mu) * jax.lax.rsqrt(var + eps) * g4_ref[...] + b4_ref[...]
+    keys2_ref[0] = keys2.astype(keys2_ref.dtype)
+    kn_ref[0] = (_dot(keys2 + pe, wkn_ref[...], dtype) + bkn_ref[...]).astype(kn_ref.dtype)
+    vn_ref[0] = (_dot(keys2, wvn_ref[...], dtype) + bvn_ref[...]).astype(vn_ref.dtype)
+
+
+def _cst(*shape):
+    return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _b_cst(*shape):
+    return pl.BlockSpec(shape, lambda b, i: (b,) + (0,) * (len(shape) - 1),
+                        memory_space=pltpu.VMEM)
+
+
+def _rows(T, C):
+    return pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pe_rows(T, C):
+    return pl.BlockSpec((T, C), lambda b, i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _t2i_kv_pallas(keys, key_pe, Wk, bk, Wv, bv, dtype, interpret=False):
+    B, N, C = keys.shape
+    Ci = Wk.shape[1]
+    T = TROWS if N % TROWS == 0 else N
+    kernel = functools.partial(_kv_kernel, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // T),
+        in_specs=[_rows(T, C), _pe_rows(T, C), _cst(C, Ci), _cst(Ci),
+                  _cst(C, Ci), _cst(Ci)],
+        out_specs=[_rows(T, Ci), _rows(T, Ci)],
+        out_shape=[jax.ShapeDtypeStruct((B, N, Ci), dtype)] * 2,
+        interpret=interpret,
+    )(keys, key_pe, Wk, bk, Wv, bv)
+
+
+def _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
+                g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, eps,
+                interpret=False):
+    B, N, C = keys.shape
+    Ci = Wq.shape[1]
+    T = TROWS if N % TROWS == 0 else N
+    kernel = functools.partial(_i2t_kernel, num_heads=num_heads, dtype=dtype,
+                               eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // T),
+        in_specs=[
+            _rows(T, C), _pe_rows(T, C), _b_cst(1, NT, Ci), _b_cst(1, NT, Ci),
+            _cst(1, NT),
+            _cst(C, Ci), _cst(Ci), _cst(Ci, C), _cst(C), _cst(C), _cst(C),
+            _cst(C, Ci), _cst(Ci), _cst(C, Ci), _cst(Ci),
+        ],
+        out_specs=[_rows(T, C), _rows(T, Ci), _rows(T, Ci)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, Ci), dtype),
+            jax.ShapeDtypeStruct((B, N, Ci), dtype),
+        ],
+        interpret=interpret,
+    )(keys, key_pe, tok_k, tok_v, mask_bias.reshape(1, NT), Wq, bq, Wout,
+      bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n)
+
+
+# ------------------------------------------------------------ public API
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _t2i_kv(keys, key_pe, Wk, bk, Wv, bv, dtype, use_pallas, interpret):
+    if use_pallas:
+        return _t2i_kv_pallas(keys, key_pe, Wk, bk, Wv, bv, dtype, interpret)
+    return t2i_kv_proj_xla(keys, key_pe, Wk, bk, Wv, bv, dtype)
+
+
+def _t2i_fwd(keys, key_pe, Wk, bk, Wv, bv, dtype, use_pallas, interpret):
+    out = _t2i_kv(keys, key_pe, Wk, bk, Wv, bv, dtype, use_pallas, interpret)
+    return out, (keys, key_pe, Wk, bk, Wv, bv)
+
+
+def _t2i_bwd(dtype, use_pallas, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: t2i_kv_proj_xla(*a, dtype), *res)
+    return vjp(g)
+
+
+_t2i_kv.defvjp(_t2i_fwd, _t2i_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def _i2t(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout, g4, b4,
+         Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, use_pallas, interpret):
+    if use_pallas:
+        return _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq,
+                           Wout, bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n,
+                           num_heads, dtype, 1e-5, interpret)
+    return i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq,
+                          Wout, bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n,
+                          num_heads, dtype)
+
+
+def _i2t_fwd(*args):
+    out = _i2t(*args)
+    return out, args[:15]
+
+
+def _i2t_bwd(num_heads, dtype, use_pallas, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: i2t_update_xla(*a, num_heads, dtype), *res
+    )
+    return vjp(g)
+
+
+_i2t.defvjp(_i2t_fwd, _i2t_bwd)
+
+
+def t2i_kv_proj(keys, key_pe, Wk, bk, Wv, bv, dtype=jnp.bfloat16,
+                force_xla=False, interpret=False):
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla)
+    return _t2i_kv(keys, key_pe, Wk, bk, Wv, bv, jnp.dtype(dtype),
+                   use_pallas, interpret)
+
+
+def i2t_update(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
+               g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads,
+               dtype=jnp.bfloat16, force_xla=False, interpret=False):
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla)
+    return _i2t(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
+                g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads, jnp.dtype(dtype),
+                use_pallas, interpret)

@@ -39,6 +39,9 @@ class MaskDecoder(nn.Module):
     # the requested mask tokens (kernels/fused_upscale.py; falls back to the
     # identical XLA composition off-TPU).  "xla": the tap-matmul composition.
     upscale_impl: str = "fused"
+    # "fused": image-side-fused TwoWayTransformer sweeps
+    # (kernels/fused_twoway.py, TPU only).  "xla": the module composition.
+    twoway_impl: str = "xla"
 
     def setup(self) -> None:
         self.num_mask_tokens = self.num_multimask_outputs + 1
@@ -54,6 +57,7 @@ class MaskDecoder(nn.Module):
             num_heads=self.transformer_num_heads,
             mlp_dim=self.transformer_mlp_dim,
             dtype=self.dtype,
+            impl=self.twoway_impl,
         )
         d = self.transformer_dim
         self.upscale_conv1 = ConvTranspose2x(d // 4, dtype=self.dtype, name="upscale_conv1")

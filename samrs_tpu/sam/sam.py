@@ -100,6 +100,7 @@ class Sam(nn.Module):
             iou_head_hidden_dim=c.iou_head_hidden_dim,
             dtype=jnp.bfloat16 if c.decode_dtype == "bfloat16" else jnp.float32,
             upscale_impl=c.upscale_impl,
+            twoway_impl=c.twoway_impl,
         )
 
     # --- jittable sub-applies (each usable via model.apply(..., method=...)) ---

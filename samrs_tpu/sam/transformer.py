@@ -14,9 +14,11 @@ logit 0 (SURVEY.md "Hard parts").
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from samrs_tpu.nn.layers import MLPBlock
@@ -116,8 +118,127 @@ class TwoWayAttentionBlock(nn.Module):
         return queries, keys
 
 
+# ---- fused-path raw parameter declarations (identical trees to the flax
+# modules above, so checkpoints/porters are impl-agnostic) -------------------
+
+
+class _DenseP(nn.Module):
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class _LNP(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _AttnP(nn.Module):
+    """AttentionDownsample's exact param tree, declared raw."""
+
+    C: int
+    Ci: int
+
+    @nn.compact
+    def __call__(self) -> Dict:
+        return {
+            "q": _DenseP(self.C, self.Ci, name="q_proj")(),
+            "k": _DenseP(self.C, self.Ci, name="k_proj")(),
+            "v": _DenseP(self.C, self.Ci, name="v_proj")(),
+            "o": _DenseP(self.Ci, self.C, name="out_proj")(),
+        }
+
+
+class _MLPP(nn.Module):
+    """MLPBlock's exact param tree (lin1/lin2), declared raw."""
+
+    dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self) -> Dict:
+        return {
+            "lin1": _DenseP(self.dim, self.mlp_dim, name="lin1")(),
+            "lin2": _DenseP(self.mlp_dim, self.dim, name="lin2")(),
+        }
+
+
+class _TwoWayBlockParams(nn.Module):
+    """TwoWayAttentionBlock's exact param tree, declared raw."""
+
+    C: int
+    Ci: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self) -> Dict:
+        return {
+            "self_attn": _AttnP(self.C, self.C, name="self_attn")(),
+            "t2i": _AttnP(self.C, self.Ci, name="cross_attn_token_to_image")(),
+            "i2t": _AttnP(self.C, self.Ci, name="cross_attn_image_to_token")(),
+            "norm1": _LNP(self.C, name="norm1")(),
+            "norm2": _LNP(self.C, name="norm2")(),
+            "norm3": _LNP(self.C, name="norm3")(),
+            "norm4": _LNP(self.C, name="norm4")(),
+            "mlp": _MLPP(self.C, self.mlp_dim, name="mlp")(),
+        }
+
+
+def _dense(x, wb):
+    W, b = wb
+    return x @ W + b
+
+
+def _ln(x, wb, eps=1e-5):
+    """flax nn.LayerNorm numerics: var = E[x^2] - E[x]^2."""
+    scale, bias = wb
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _mha(q, k, v, p, num_heads):
+    """AttentionDownsample numerics, functional (fp32)."""
+    q = _dense(q, p["q"])
+    k = _dense(k, p["k"])
+    v = _dense(v, p["v"])
+    B, Nq, Ci = q.shape
+    hd = Ci // num_heads
+    qh = q.reshape(B, Nq, num_heads, hd)
+    kh = k.reshape(B, k.shape[1], num_heads, hd)
+    vh = v.reshape(B, v.shape[1], num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / (hd ** 0.5)
+    a = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", a, vh,
+                   preferred_element_type=jnp.float32)
+    return _dense(o.reshape(B, Nq, Ci), p["o"])
+
+
 class TwoWayTransformer(nn.Module):
-    """transformer.py:16-107."""
+    """transformer.py:16-107.
+
+    impl="fused" routes the image-side work (the (B, 4096, 256) keys stream
+    that dominates decode at generation buckets) through the fused Pallas
+    sweeps in kernels/fused_twoway.py: ONE kv-projection pass plus ONE
+    pass per layer fusing q-proj + image->token attention + out-proj +
+    residual + norm4 + the NEXT t2i K/V projections.  Token-side math
+    (<= 128 tokens) replicates the flax modules functionally.  Param trees
+    are identical across impls; init always runs the module path."""
 
     depth: int = 2
     embedding_dim: int = 256
@@ -125,6 +246,7 @@ class TwoWayTransformer(nn.Module):
     mlp_dim: int = 2048
     attention_downsample_rate: int = 2
     dtype: Dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -133,10 +255,22 @@ class TwoWayTransformer(nn.Module):
         image_pe: jnp.ndarray,  # (B, H, W, C) or (H, W, C)
         point_embedding: jnp.ndarray,  # (B, N, C)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from samrs_tpu.kernels.fused_twoway import NT
+
         b, h, w, c = image_embedding.shape
         keys = image_embedding.reshape(b, h * w, c)
         key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, c), keys.shape)
         queries = point_embedding
+
+        use_fused = (
+            self.impl in ("fused", "fused_test")  # _test: CPU wiring check
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu" or self.impl == "fused_test")
+            and point_embedding.shape[1] <= NT
+        )
+        if use_fused:
+            return self._fused(keys, image_pe.reshape(-1, h * w, c)[0],
+                               point_embedding)
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
@@ -161,4 +295,95 @@ class TwoWayTransformer(nn.Module):
         )(q, k, keys)
         queries = queries + attn_out
         queries = nn.LayerNorm(epsilon=1e-5, name="norm_final_attn")(queries)
+        return queries, keys
+
+    def _fused(self, keys, key_pe, point_embedding):
+        """Image-side-fused decode (see class docstring).  keys (B, N, C)
+        fp32, key_pe (N, C), point_embedding (B, Nt, C)."""
+        from samrs_tpu.kernels.fused_twoway import NT, i2t_update, t2i_kv_proj
+
+        C = self.embedding_dim
+        Ci = C // self.attention_downsample_rate
+        nH = self.num_heads
+        hd_t2i = Ci // nH
+        B, Nt, _ = point_embedding.shape
+        queries = point_embedding
+        # kernel matmul dtype: fp32 streams, bf16 MXU passes on TPU (the XLA
+        # path's fp32 dots already run at default matmul precision there —
+        # CLAUDE.md "decode precision reality check"); fp32 off-TPU so the
+        # oracle fallback is exact for the CPU wiring test
+        kdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+        blocks = [
+            _TwoWayBlockParams(C, Ci, self.mlp_dim, name=f"layers_{i}")()
+            for i in range(self.depth)
+        ]
+        final_p = _AttnP(C, Ci, name="final_attn_token_to_image")()
+        norm_final = _LNP(C, name="norm_final_attn")()
+
+        mask_bias = jnp.asarray(
+            np.where(np.arange(NT) < Nt, 0.0, -1e9), jnp.float32
+        )
+
+        def pad_tok(x):
+            return jnp.pad(x, ((0, 0), (0, NT - Nt), (0, 0)))
+
+        # one kv-projection sweep for layer 0's token->image attention
+        k_img, v_img = t2i_kv_proj(
+            keys, key_pe, *blocks[0]["t2i"]["k"], *blocks[0]["t2i"]["v"],
+            dtype=kdt,
+        )
+
+        for i in range(self.depth):
+            p = blocks[i]
+            # 1. token self-attention (reference transformer.py:151-160)
+            if i == 0:
+                queries = _mha(queries, queries, queries, p["self_attn"], nH)
+            else:
+                q = queries + point_embedding
+                queries = queries + _mha(q, q, queries, p["self_attn"], nH)
+            queries = _ln(queries, p["norm1"])
+
+            # 2. token -> image cross-attention (k/v precomputed by the
+            # previous fused sweep)
+            q = _dense(queries + point_embedding, p["t2i"]["q"])
+            qh = q.reshape(B, Nt, nH, hd_t2i)
+            kh = k_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
+            vh = v_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32) / (hd_t2i ** 0.5)
+            a = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", a, vh,
+                           preferred_element_type=jnp.float32)
+            queries = queries + _dense(o.reshape(B, Nt, Ci), p["t2i"]["o"])
+            queries = _ln(queries, p["norm2"])
+
+            # 3. token MLP (relu)
+            hmid = jax.nn.relu(_dense(queries, p["mlp"]["lin1"]))
+            queries = queries + _dense(hmid, p["mlp"]["lin2"])
+            queries = _ln(queries, p["norm3"])
+
+            # 4. image -> token update, fused over the keys stream; also
+            # emits the NEXT t2i/final K/V projections
+            nxt = blocks[i + 1]["t2i"] if i + 1 < self.depth else final_p
+            tok_k = pad_tok(_dense(queries + point_embedding, p["i2t"]["k"]))
+            tok_v = pad_tok(_dense(queries, p["i2t"]["v"]))
+            keys, k_img, v_img = i2t_update(
+                keys, key_pe, tok_k, tok_v, mask_bias,
+                *p["i2t"]["q"], *p["i2t"]["o"], *p["norm4"],
+                *nxt["k"], *nxt["v"], nH, dtype=kdt,
+            )
+
+        # final token -> image attention (:99-104)
+        q = _dense(queries + point_embedding, final_p["q"])
+        qh = q.reshape(B, Nt, nH, hd_t2i)
+        kh = k_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
+        vh = v_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) / (hd_t2i ** 0.5)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, vh,
+                       preferred_element_type=jnp.float32)
+        queries = queries + _dense(o.reshape(B, Nt, Ci), final_p["o"])
+        queries = _ln(queries, norm_final)
         return queries, keys
