@@ -32,10 +32,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NT = 128     # padded token slots (>= iou + mask tokens + sparse prompts)
+NT = 16      # padded token slots (>= iou + mask tokens + sparse prompts;
+#              box prompts use 7 — keep this tight: the i2t kernel's qk/exp
+#              work scales with it)
 TROWS = 512  # image rows per program
 
 
@@ -58,7 +61,7 @@ def t2i_kv_proj_xla(keys, key_pe, Wk, bk, Wv, bv, dtype=jnp.bfloat16):
 
 def i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
                    g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads,
-                   dtype=jnp.bfloat16, eps=1e-5):
+                   dtype=jnp.bfloat16, eps=1e-5, out_dtype=jnp.float32):
     """Fused image->token update, XLA composition (the exact reference math
     modulo compute dtype).
 
@@ -69,10 +72,11 @@ def i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
     B, N, C = keys.shape
     Ci = Wq.shape[1]
     hd = Ci // num_heads
+    nts = tok_k.shape[1]
     q = _dot(keys + key_pe[None], Wq, dtype) + bq          # (B,N,Ci) fp32
     qh = q.reshape(B, N, num_heads, hd)
-    kh = tok_k.astype(jnp.float32).reshape(B, NT, num_heads, hd)
-    vh = tok_v.astype(jnp.float32).reshape(B, NT, num_heads, hd)
+    kh = tok_k.astype(jnp.float32).reshape(B, nts, num_heads, hd)
+    vh = tok_v.astype(jnp.float32).reshape(B, nts, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / (hd ** 0.5)
     s = s + mask_bias[None, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
@@ -84,7 +88,7 @@ def i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
     keys2 = (res - mu) / jnp.sqrt(var + eps) * g4 + b4
     k_n = _dot(keys2 + key_pe[None], Wk_n, dtype) + bk_n
     v_n = _dot(keys2, Wv_n, dtype) + bv_n
-    return keys2, k_n.astype(dtype), v_n.astype(dtype)
+    return keys2.astype(out_dtype), k_n.astype(dtype), v_n.astype(dtype)
 
 
 # ---------------------------------------------------------------- kernels
@@ -97,40 +101,51 @@ def _kv_kernel(keys_ref, pe_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     v_ref[0] = (_dot(keys, wv_ref[...], dtype) + bv_ref[...]).astype(v_ref.dtype)
 
 
-def _i2t_kernel(keys_ref, pe_ref, tk_ref, tv_ref, mb_ref,
+def _i2t_kernel(keys_ref, pe_ref, kb_ref, vb_ref, mb_ref, e8_ref,
                 wq_ref, bq_ref, wo_ref, bo_ref, g4_ref, b4_ref,
                 wkn_ref, bkn_ref, wvn_ref, bvn_ref,
-                keys2_ref, kn_ref, vn_ref, *, num_heads, dtype, eps):
+                keys2_ref, kn_ref, vn_ref, *, num_heads, nts, dtype, eps):
+    """All-heads-in-one-matmul i2t attention.
+
+    kb (Ci, nH*nts): block-diagonal token K — kb[h*hd+d, h*nts+j] =
+    tok_k[j, h*hd+d] * scale — so s = q @ kb yields EVERY head's logits
+    side by side in one MXU pass (the first fused version looped 8 heads
+    of (T,16)-sliced dots + a 128-slot padded softmax and measured
+    3.27 ms/call vs this layout's design floor ~1.2).
+    vb (nH*nts, Ci + nH): block-diagonal V with per-head ones columns, so
+    o = p @ vb gives head-concatenated outputs AND the softmax row-sums.
+    e8 (nH, Ci): 0/1 expansion broadcasting each head's row-sum across its
+    hd output lanes for the divide.
+    """
     keys = keys_ref[0]                       # (T, C) fp32
     pe = pe_ref[...].astype(jnp.float32)     # (T, C)
-    tk = tk_ref[0]                           # (NT, Ci)
-    tv = tv_ref[0]
-    mb = mb_ref[...]                         # (1, NT) additive bias
-    Ci = tk.shape[-1]
-    hd = Ci // num_heads
-    scale = hd ** -0.5
+    mb = mb_ref[...]                         # (1, nH*nts) additive bias
+    Ci = wq_ref.shape[1]
     q = _dot(keys + pe, wq_ref[...], dtype) + bq_ref[...]  # (T, Ci) fp32
-    outs = []
-    for h in range(num_heads):               # static lane slices
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = tk[:, h * hd:(h + 1) * hd]
-        vh = tv[:, h * hd:(h + 1) * hd]
-        s = jax.lax.dot_general(
-            (qh * scale).astype(dtype), kh.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + mb                               # (T, NT)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        d = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(dtype), vh.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o / d)
-    o = jnp.concatenate(outs, axis=-1)       # (T, Ci) fp32
-    out = _dot(o, wo_ref[...], dtype) + bo_ref[...]
+    s = jax.lax.dot_general(
+        q.astype(dtype), kb_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + mb                                   # (T, nH*nts)
+    # per-head max over static nts-lane groups
+    m = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.max(s[:, h * nts:(h + 1) * nts], axis=-1, keepdims=True),
+            (s.shape[0], nts))
+         for h in range(num_heads)], axis=-1)
+    p = jnp.exp(s - m)
+    o = jax.lax.dot_general(
+        p.astype(dtype), vb_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                        # (T, Ci + nH)
+    den = jax.lax.dot_general(
+        o[:, Ci:Ci + num_heads].astype(dtype), e8_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                        # (T, Ci) per-head row-sums
+    attn = o[:, :Ci] / den
+    out = _dot(attn, wo_ref[...], dtype) + bo_ref[...]
     res = keys + out
     mu = jnp.mean(res, axis=-1, keepdims=True)
     var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
@@ -177,29 +192,50 @@ def _t2i_kv_pallas(keys, key_pe, Wk, bk, Wv, bv, dtype, interpret=False):
 
 def _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
                 g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, eps,
-                interpret=False):
+                out_dtype=jnp.float32, interpret=False):
     B, N, C = keys.shape
     Ci = Wq.shape[1]
+    nH = num_heads
+    hd = Ci // nH
+    nts = tok_k.shape[1]
     T = TROWS if N % TROWS == 0 else N
-    kernel = functools.partial(_i2t_kernel, num_heads=num_heads, dtype=dtype,
-                               eps=eps)
+    scale = hd ** -0.5
+    # block-diagonal token operands (tiny: built once outside the kernel)
+    tk = (tok_k.astype(jnp.float32) * scale).astype(dtype)
+    tv = tok_v.astype(dtype)
+    kb = jnp.zeros((B, Ci, nH * nts), dtype)
+    vb = jnp.zeros((B, nH * nts, Ci + nH), dtype)
+    for h in range(nH):
+        kb = kb.at[:, h * hd:(h + 1) * hd, h * nts:(h + 1) * nts].set(
+            tk[:, :, h * hd:(h + 1) * hd].transpose(0, 2, 1))
+        vb = vb.at[:, h * nts:(h + 1) * nts, h * hd:(h + 1) * hd].set(
+            tv[:, :, h * hd:(h + 1) * hd])
+        vb = vb.at[:, h * nts:(h + 1) * nts, Ci + h].set(1.0)
+    mb = jnp.tile(mask_bias.reshape(1, nts), (1, nH))
+    e8 = np.zeros((nH, Ci), np.float32)
+    for h in range(nH):
+        e8[h, h * hd:(h + 1) * hd] = 1.0
+    e8 = jnp.asarray(e8, dtype)
+    kernel = functools.partial(_i2t_kernel, num_heads=num_heads, nts=nts,
+                               dtype=dtype, eps=eps)
     return pl.pallas_call(
         kernel,
         grid=(B, N // T),
         in_specs=[
-            _rows(T, C), _pe_rows(T, C), _b_cst(1, NT, Ci), _b_cst(1, NT, Ci),
-            _cst(1, NT),
+            _rows(T, C), _pe_rows(T, C),
+            _b_cst(1, Ci, nH * nts), _b_cst(1, nH * nts, Ci + nH),
+            _cst(1, nH * nts), _cst(nH, Ci),
             _cst(C, Ci), _cst(Ci), _cst(Ci, C), _cst(C), _cst(C), _cst(C),
             _cst(C, Ci), _cst(Ci), _cst(C, Ci), _cst(Ci),
         ],
         out_specs=[_rows(T, C), _rows(T, Ci), _rows(T, Ci)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), out_dtype),
             jax.ShapeDtypeStruct((B, N, Ci), dtype),
             jax.ShapeDtypeStruct((B, N, Ci), dtype),
         ],
         interpret=interpret,
-    )(keys, key_pe, tok_k, tok_v, mask_bias.reshape(1, NT), Wq, bq, Wout,
+    )(keys, key_pe, kb, vb, mb, e8, Wq, bq, Wout,
       bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n)
 
 
@@ -225,16 +261,17 @@ def _t2i_bwd(dtype, use_pallas, interpret, res, g):
 _t2i_kv.defvjp(_t2i_fwd, _t2i_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
 def _i2t(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout, g4, b4,
-         Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, use_pallas, interpret):
+         Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, use_pallas, interpret,
+         out_dtype):
     if use_pallas:
         return _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq,
                            Wout, bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n,
-                           num_heads, dtype, 1e-5, interpret)
+                           num_heads, dtype, 1e-5, out_dtype, interpret)
     return i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq,
                           Wout, bout, g4, b4, Wk_n, bk_n, Wv_n, bv_n,
-                          num_heads, dtype)
+                          num_heads, dtype, out_dtype=out_dtype)
 
 
 def _i2t_fwd(*args):
@@ -242,9 +279,10 @@ def _i2t_fwd(*args):
     return out, args[:15]
 
 
-def _i2t_bwd(num_heads, dtype, use_pallas, interpret, res, g):
+def _i2t_bwd(num_heads, dtype, use_pallas, interpret, out_dtype, res, g):
     _, vjp = jax.vjp(
-        lambda *a: i2t_update_xla(*a, num_heads, dtype), *res
+        lambda *a: i2t_update_xla(*a, num_heads, dtype, out_dtype=out_dtype),
+        *res,
     )
     return vjp(g)
 
@@ -262,9 +300,10 @@ def t2i_kv_proj(keys, key_pe, Wk, bk, Wv, bv, dtype=jnp.bfloat16,
 
 def i2t_update(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
                g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads,
-               dtype=jnp.bfloat16, force_xla=False, interpret=False):
+               dtype=jnp.bfloat16, force_xla=False, interpret=False,
+               out_dtype=jnp.float32):
     use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
         interpret and not force_xla)
     return _i2t(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
                 g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads, jnp.dtype(dtype),
-                use_pallas, interpret)
+                use_pallas, interpret, jnp.dtype(out_dtype))

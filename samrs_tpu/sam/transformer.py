@@ -211,6 +211,27 @@ def _ln(x, wb, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _lane_sliced_attn(q, k_img, v_img, num_heads):
+    """Token->image attention with heads as static lane slices of the
+    (B, N, Ci) fused-kernel outputs (no head-split reshape: the (B,N,nH,hd)
+    view einsum forces a full relayout copy of k_img/v_img on TPU).
+    q (B, Nt, Ci) fp32; k_img/v_img (B, N, Ci) in compute dtype."""
+    B, Nt, Ci = q.shape
+    hd = Ci // num_heads
+    scale = hd ** -0.5
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jnp.einsum("bqd,bkd->bqk", q[:, :, sl] * scale,
+                       k_img[:, :, sl].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s, axis=-1)
+        outs.append(jnp.einsum("bqk,bkd->bqd", a,
+                               v_img[:, :, sl].astype(jnp.float32),
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _mha(q, k, v, p, num_heads):
     """AttentionDownsample numerics, functional (fp32)."""
     q = _dense(q, p["q"])
@@ -345,17 +366,12 @@ class TwoWayTransformer(nn.Module):
             queries = _ln(queries, p["norm1"])
 
             # 2. token -> image cross-attention (k/v precomputed by the
-            # previous fused sweep)
+            # previous fused sweep); heads as LANE SLICES of the (B, N, Ci)
+            # kernel outputs — the head-split reshape einsum forced a
+            # 205 us {1,2,0} relayout copy of each kernel output (r4 trace)
             q = _dense(queries + point_embedding, p["t2i"]["q"])
-            qh = q.reshape(B, Nt, nH, hd_t2i)
-            kh = k_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
-            vh = v_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
-            s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                           preferred_element_type=jnp.float32) / (hd_t2i ** 0.5)
-            a = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhqk,bkhd->bqhd", a, vh,
-                           preferred_element_type=jnp.float32)
-            queries = queries + _dense(o.reshape(B, Nt, Ci), p["t2i"]["o"])
+            queries = queries + _dense(
+                _lane_sliced_attn(q, k_img, v_img, nH), p["t2i"]["o"])
             queries = _ln(queries, p["norm2"])
 
             # 3. token MLP (relu)
@@ -372,18 +388,15 @@ class TwoWayTransformer(nn.Module):
                 keys, key_pe, tok_k, tok_v, mask_bias,
                 *p["i2t"]["q"], *p["i2t"]["o"], *p["norm4"],
                 *nxt["k"], *nxt["v"], nH, dtype=kdt,
+                # the final keys only feed the upscale kernel, which casts
+                # to the compute dtype anyway — emit it there directly
+                # (saves a 609 us convert + half the last write, r4 trace)
+                out_dtype=kdt if i == self.depth - 1 else jnp.float32,
             )
 
         # final token -> image attention (:99-104)
         q = _dense(queries + point_embedding, final_p["q"])
-        qh = q.reshape(B, Nt, nH, hd_t2i)
-        kh = k_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
-        vh = v_img.astype(jnp.float32).reshape(B, -1, nH, hd_t2i)
-        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                       preferred_element_type=jnp.float32) / (hd_t2i ** 0.5)
-        a = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, vh,
-                       preferred_element_type=jnp.float32)
-        queries = queries + _dense(o.reshape(B, Nt, Ci), final_p["o"])
+        queries = queries + _dense(
+            _lane_sliced_attn(q, k_img, v_img, nH), final_p["o"])
         queries = _ln(queries, norm_final)
         return queries, keys

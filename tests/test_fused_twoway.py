@@ -42,7 +42,7 @@ def test_kv_proj_interpret_matches_oracle():
                                    atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("nt", [3, 17])
+@pytest.mark.parametrize("nt", [3, 9])
 def test_i2t_update_interpret_matches_oracle(nt):
     keys, key_pe, _, rng = _mk(1)
     f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
