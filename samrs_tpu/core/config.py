@@ -158,6 +158,13 @@ class SamConfig(Config):
     mlp_impl: str = "fused"  # 'fused' = single-pass Pallas MLP (hidden stays
     # in VMEM, gelu evaluated once — A/B on v5e B=4 ViT-H encode: 66.3 ms/img
     # vs 72.8 'xla') | 'xla' (Dense-gelu-Dense, XLA fusion)
+    tail_impl: str = "xla"  # windowed-sublayer tail: 'fused' = the block
+    # window kernels return their PADDED map (free view) and crop + attention
+    # residual + LN2 + MLP + residual run in one Pallas call
+    # (kernels/fused_mlp.fused_tail_ln_mlp_residual — the crop slice and
+    # residual copy_add can't fuse into Pallas calls under XLA, ~194 us/layer)
+    # | 'xla' (crop + add outside, then the mlp_impl path).  Requires
+    # mlp_impl='fused' and a block-family window_attn_impl to take effect.
     upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
     # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
     # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
@@ -176,8 +183,9 @@ class SamConfig(Config):
                          "blockq", "block_row", "block2", "block_slab",
                          "block_ijb", "block_sg")
     MLP_IMPLS = ("fused", "xla")
+    TAIL_IMPLS = ("fused", "xla")
     UPSCALE_IMPLS = ("fused", "xla")
-    GLOBAL_ATTN_IMPLS = ("aug", "split", "exp2")
+    GLOBAL_ATTN_IMPLS = ("aug", "split", "exp2", "m")
     TWOWAY_IMPLS = ("fused", "xla")
 
     def __post_init__(self) -> None:
@@ -190,6 +198,9 @@ class SamConfig(Config):
         if self.mlp_impl not in self.MLP_IMPLS:
             raise ValueError(
                 f"unknown mlp_impl {self.mlp_impl!r}; have {self.MLP_IMPLS}")
+        if self.tail_impl not in self.TAIL_IMPLS:
+            raise ValueError(
+                f"unknown tail_impl {self.tail_impl!r}; have {self.TAIL_IMPLS}")
         if self.upscale_impl not in self.UPSCALE_IMPLS:
             raise ValueError(
                 f"unknown upscale_impl {self.upscale_impl!r}; "

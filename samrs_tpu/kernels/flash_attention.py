@@ -267,6 +267,110 @@ def _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads, interpret=False,
     )(qkv_raw, qkv_raw, rel_h, rel_w, eu, ew)
 
 
+def _qkv_m_kernel(qt_ref, kv_ref, rel_ref, euv_ref, va_ref, o_ref,
+                  *, scale, nH, hd, kh, kw, vseg):
+    """Merged-rel split kernel: one rel matmul + one add per head.
+
+    The 'split' kernel pays per head TWO rel matmuls whose 64-lane
+    contractions each occupy a full 128-lane MXU chunk (i.e. the rel bias
+    costs as much MXU as the qk itself), TWO fp32 (TQ, N) VPU adds, and an
+    in-kernel (N, hd)||ones concat (~0.7 ms/layer).  Here:
+      * rel_h/rel_w ride ONE (TQ, kh+kw=128) x (kh+kw, N) matmul against a
+        fused one-hot expansion — one 128-lane chunk, ONE VPU add;
+      * v arrives pre-concatenated with its ones lane as vseg-padded
+        per-head segments (va), so the softmax row-sum still rides the pv
+        matmul with no in-kernel concat.
+    """
+    C = nH * hd
+    qt = qt_ref[0]      # (TQ, 3C) — only q lanes used
+    kv = kv_ref[0]      # (N, 3C) — only k lanes used; resident per batch row
+    rel = rel_ref[0]    # (TQ, nH*(kh+kw))
+    euv = euv_ref[...]  # (N, kh+kw) fused one-hot expansion
+    va = va_ref[0]      # (N, nH*vseg) — [v, ones, 0-pad] per head
+    kk = kh + kw
+    outs = []
+    for h in range(nH):  # static unroll; static lane offsets
+        q = qt[:, h * hd:(h + 1) * hd] * scale
+        k = kv[:, C + h * hd:C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s += jax.lax.dot_general(
+            rel[:, h * kk:(h + 1) * kk], euv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        o = jax.lax.dot_general(
+            p.astype(va.dtype), va[:, h * vseg:(h + 1) * vseg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, vseg): softmax row-sum rides lane hd
+        outs.append((o[:, :hd] / o[:, hd:hd + 1]).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)  # (TQ, C)
+
+
+def _qkv_flash_m_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
+                        interpret=False):
+    H, W = hw
+    B, N, threeC = qkv_raw.shape
+    C = threeC // 3
+    nH = num_heads
+    hd = C // nH
+    kh, kw = H, W
+    assert N == H * W and N % TQ == 0
+    dt = qkv_raw.dtype
+    vseg = -(-(hd + 1) // 8) * 8  # 8-aligned static lane offsets
+    q4 = qkv_raw[..., :C].reshape(B, H, W, nH, hd)
+    rel_h = jnp.einsum("bxynd,xkd->bxynk", q4, Rh.astype(dt),
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bxynd,ykd->bxynk", q4, Rw.astype(dt),
+                       preferred_element_type=jnp.float32)
+    rel = jnp.concatenate(
+        [rel_h.reshape(B, N, nH, kh), rel_w.reshape(B, N, nH, kw)], axis=-1
+    ).reshape(B, N, nH * (kh + kw)).astype(dt)
+    eu, ew = onehot_expansions(kh, kw, dt)
+    euv = jnp.concatenate([eu, ew], axis=1)  # (N, kh+kw)
+    v4 = qkv_raw[..., 2 * C:].reshape(B, N, nH, hd)
+    va = jnp.concatenate(
+        [v4.astype(dt), jnp.ones((B, N, nH, 1), dt),
+         jnp.zeros((B, N, nH, vseg - hd - 1), dt)], axis=-1,
+    ).reshape(B, N, nH * vseg)
+    kernel = functools.partial(_qkv_m_kernel, scale=scale, nH=nH, hd=hd,
+                               kh=kh, kw=kw, vseg=vseg)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // TQ),
+        in_specs=[
+            pl.BlockSpec((1, TQ, threeC), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, threeC), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, nH * (kh + kw)), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, kh + kw), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, nH * vseg), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            # resident per batch row at ViT-H: kv 31 MB + va 11 MB + euv 1 MB
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nH * N * N * (hd + kh + kw + hd),
+            bytes_accessed=B * N * threeC * 2 * 2,
+            transcendentals=B * nH * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_raw, qkv_raw, rel, euv, va)
+
+
 def _qkv_aug_kernel(qa_ref, ka_ref, va_ref, o_ref, *, nH, hd, seg, vseg):
     qa = qa_ref[0]   # (TQ, nH*seg) — [q*scale, rel_h, rel_w, 0-pad] per head
     ka = ka_ref[0]   # (N,  nH*seg) — [k, onehot_kh, onehot_kw, 0-pad]
@@ -379,6 +483,9 @@ def _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas, interpret)
     if use_pallas == "aug":
         return _qkv_flash_aug_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
                                      interpret)
+    if use_pallas == "m":
+        return _qkv_flash_m_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
+                                   interpret)
     if use_pallas == "exp2":
         return _qkv_flash_pallas(qkv_raw, Rh, Rw, hw, scale, num_heads,
                                  interpret, exp2=True)
@@ -426,12 +533,16 @@ def flash_attention_qkv_relpos(
     native VPU exp2, no per-element x*log2e multiply); "aug" = rel-pos folded
     into the qk matmul via augmented 128-aligned per-head q/k segments
     (measured-negative: 54.00 vs 53.64 ms/img split, full ViT-H B=4 encode —
-    the q/k/v_aug concat HBM traffic eats the MXU fusion gain)."""
+    the q/k/v_aug concat HBM traffic eats the MXU fusion gain); "m" = split
+    with the two rel matmuls MERGED into one 128-lane-contraction matmul
+    (one VPU add instead of two, the rel bias costs one MXU chunk instead of
+    two) and the v||ones concat hoisted outside as 8-aligned per-head
+    segments."""
     B, N, _ = qkv_raw.shape
     use_pallas = (
         not force_xla and jax.default_backend() == "tpu" and N % TQ == 0
     ) or (interpret and not force_xla)
-    if use_pallas and variant in ("aug", "exp2"):
+    if use_pallas and variant in ("aug", "exp2", "m"):
         use_pallas = variant
     return _qkv_attention(qkv_raw, Rh, Rw, hw, scale, num_heads, use_pallas,
                           interpret)

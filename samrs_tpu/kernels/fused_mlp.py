@@ -311,6 +311,194 @@ def _ln_bwd(dtype, eps, use_pallas, block_k, interpret, res, g):
 _ln_fused.defvjp(_ln_fwd, _ln_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Sublayer TAIL kernel: out = x + MLP(LN(x)) where x = shortcut + crop(att).
+#
+# The windowed attention kernels emit a PADDED (B, Hp, Wp, C) map (a free
+# 6-D-view bitcast of their block grid).  Getting from there to the MLP
+# sublayer kernel's input costs two XLA ops that cannot fuse into either
+# Pallas call: the crop slice (127 us/layer, odd {3,0,2,1} layout) and the
+# residual copy_add (67 us/layer) — ~5.4 ms/iter at ViT-H B=4 (r4 trace,
+# enc_hlo slice.448/copy_add_fusion.27).  This kernel reads the padded map
+# directly with (1, rh, W, C) blocks (rows/cols beyond H/W are never read),
+# adds the shortcut in-kernel, and then runs the LN+MLP+residual k-loop.
+# ---------------------------------------------------------------------------
+
+
+def tail_ln_mlp_residual_xla(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype,
+                             eps=1e-6):
+    """Oracle: x = sc + att_p[:, :H, :W]; x + MLP(LN_fp32(x)) — exactly the
+    Block's crop -> residual add -> fused_ln_mlp_residual composition."""
+    B, H, W, C = sc.shape
+    x = sc + att_p[:, :H, :W]
+    return ln_mlp_residual_xla(
+        x.reshape(-1, C), g_ln, bt_ln, w1, b1, w2, b2, dtype, eps
+    ).reshape(B, H, W, C)
+
+
+def _tail_kernel(att_ref, sc_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, o_ref, acc_ref, xn_ref, xs_ref, *, nk, eps):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _prep():
+        rh, W, C = sc_ref.shape[1:]
+        att = att_ref[0].reshape(rh * W, C)   # sublane-collapse view
+        sc = sc_ref[0].reshape(rh * W, C)
+        xb = sc + att                          # stream-dtype residual add
+        xs_ref[...] = xb
+        xf = xb.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[...].astype(jnp.float32) + bln_ref[...].astype(jnp.float32)
+        xn_ref[...] = xn.astype(xn_ref.dtype)
+
+    h = jax.lax.dot_general(
+        xn_ref[...], w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    g = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    part = jax.lax.dot_general(
+        g.astype(xn_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _accum():
+        acc_ref[...] += part
+
+    @pl.when(k == nk - 1)
+    def _store():
+        rh, W, C = sc_ref.shape[1:]
+        y = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        out = (xs_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(rh, W, C)
+
+
+def _tail_rows(H: int, W: int) -> int:
+    """Largest rh dividing H with rh*W in [128, 512] (rh is an outer block
+    dim, so no 8-alignment needed); 0 if none -> XLA composition."""
+    best = 0
+    for rh in range(1, H + 1):
+        if H % rh:
+            continue
+        if rh * W < 128 or rh * W > 512:
+            continue
+        best = rh
+    return best
+
+
+def _tail_pallas(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, block_k,
+                 interpret):
+    B, H, W, C = sc.shape
+    M = w1.shape[1]
+    rh = _tail_rows(H, W)
+    bk = block_k if M % block_k == 0 else M
+    nk = M // bk
+    kernel = functools.partial(_tail_kernel, nk=nk, eps=eps)
+    blk = lambda a: pl.BlockSpec((1, rh, W, C), lambda b, r, k: (b, r, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    cst = lambda *s: pl.BlockSpec(s, lambda b, r, k: (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    wspec = lambda s0, s1, kk: pl.BlockSpec(
+        (s0, s1), (lambda b, r, k: (0, k)) if kk else (lambda b, r, k: (k, 0)),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rh, nk),
+        in_specs=[
+            blk(att_p), blk(sc),
+            cst(1, C), cst(1, C),
+            wspec(C, bk, True),   # w1 (C, bk) at column k
+            wspec(1, bk, True),   # b1
+            wspec(bk, C, False),  # w2 (bk, C) at row k
+            cst(1, C),            # b2
+        ],
+        out_specs=pl.BlockSpec((1, rh, W, C), lambda b, r, k: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), sc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rh * W, C), jnp.float32),
+            pltpu.VMEM((rh * W, C), jnp.dtype(dtype)),
+            pltpu.VMEM((rh * W, C), sc.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * W * C * M,
+            bytes_accessed=3 * B * H * W * C * 2
+            + B * (H // rh) * 2 * C * M * 2,
+            transcendentals=B * H * W * M,
+        ),
+        interpret=interpret,
+    )(att_p, sc, g_ln.reshape(1, C), bt_ln.reshape(1, C),
+      w1.astype(dtype), b1.reshape(1, M).astype(dtype),
+      w2.astype(dtype), b2.reshape(1, C).astype(dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _tail_fused(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps,
+                use_pallas, block_k, interpret):
+    if use_pallas:
+        return _tail_pallas(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype,
+                            eps, block_k, interpret)
+    return tail_ln_mlp_residual_xla(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2,
+                                    dtype, eps)
+
+
+def _tail_fwd(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps, use_pallas,
+              block_k, interpret):
+    out = _tail_fused(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2, dtype, eps,
+                      use_pallas, block_k, interpret)
+    return out, (att_p, sc, g_ln, bt_ln, w1, b1, w2, b2)
+
+
+def _tail_bwd(dtype, eps, use_pallas, block_k, interpret, res, g):
+    att_p, sc, g_ln, bt_ln, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: tail_ln_mlp_residual_xla(*a, dtype, eps),
+        att_p, sc, g_ln, bt_ln, w1, b1, w2, b2,
+    )
+    return vjp(g.astype(sc.dtype))
+
+
+_tail_fused.defvjp(_tail_fwd, _tail_bwd)
+
+
+def fused_tail_ln_mlp_residual(
+    att_p: jnp.ndarray,  # (B, Hp, Wp, C) PADDED attention output (pads unread)
+    sc: jnp.ndarray,     # (B, H, W, C) residual stream (the Block shortcut)
+    g_ln: jnp.ndarray,
+    bt_ln: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    eps: float = 1e-6,
+    force_xla: bool = False,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns x + gelu(LN(x)@w1+b1)@w2+b2 with x = sc + att_p[:, :H, :W]."""
+    B, H, W, C = sc.shape
+    use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
+        interpret and not force_xla
+    )
+    if use_pallas and (_tail_rows(H, W) == 0 or W % 8 != 0):
+        use_pallas = False  # geometry the kernel can't tile; XLA composition
+    return _tail_fused(att_p, sc, g_ln, bt_ln, w1, b1, w2, b2,
+                       jnp.dtype(dtype), eps, use_pallas, block_k, interpret)
+
+
 def fused_ln_mlp_residual(
     x: jnp.ndarray,     # (..., C) tokens, any leading shape
     g_ln: jnp.ndarray,  # (C,) LayerNorm scale

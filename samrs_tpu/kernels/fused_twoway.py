@@ -122,8 +122,12 @@ def _i2t_kernel(keys_ref, pe_ref, kb_ref, vb_ref, mb_ref, e8_ref,
     mb = mb_ref[...]                         # (1, nH*nts) additive bias
     Ci = wq_ref.shape[1]
     q = _dot(keys + pe, wq_ref[...], dtype) + bq_ref[...]  # (T, Ci) fp32
+    # the attention block itself runs fp32 end to end: kb/vb are tiny
+    # (<=128x136), so full-precision MXU passes cost nothing and the fused
+    # path tracks the true-fp32 decode tighter than the XLA composition
+    # (whose default-precision dots run bf16 passes)
     s = jax.lax.dot_general(
-        q.astype(dtype), kb_ref[0],
+        q, kb_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + mb                                   # (T, nH*nts)
@@ -135,12 +139,12 @@ def _i2t_kernel(keys_ref, pe_ref, kb_ref, vb_ref, mb_ref, e8_ref,
          for h in range(num_heads)], axis=-1)
     p = jnp.exp(s - m)
     o = jax.lax.dot_general(
-        p.astype(dtype), vb_ref[0],
+        p, vb_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                        # (T, Ci + nH)
     den = jax.lax.dot_general(
-        o[:, Ci:Ci + num_heads].astype(dtype), e8_ref[...],
+        o[:, Ci:Ci + num_heads], e8_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                        # (T, Ci) per-head row-sums
@@ -200,22 +204,28 @@ def _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
     nts = tok_k.shape[1]
     T = TROWS if N % TROWS == 0 else N
     scale = hd ** -0.5
-    # block-diagonal token operands (tiny: built once outside the kernel)
-    tk = (tok_k.astype(jnp.float32) * scale).astype(dtype)
-    tv = tok_v.astype(dtype)
-    kb = jnp.zeros((B, Ci, nH * nts), dtype)
-    vb = jnp.zeros((B, nH * nts, Ci + nH), dtype)
+    # block-diagonal token operands (tiny: built once outside the kernel).
+    # Built by broadcast-multiplying against a constant per-head lane mask —
+    # the first version used .at[h-slices].set loops, which lowered to ~30
+    # dynamic-update-slices at 31 us each (~0.9 ms/call, r4 decode trace).
+    hm = np.zeros((nH, Ci), np.float32)
     for h in range(nH):
-        kb = kb.at[:, h * hd:(h + 1) * hd, h * nts:(h + 1) * nts].set(
-            tk[:, :, h * hd:(h + 1) * hd].transpose(0, 2, 1))
-        vb = vb.at[:, h * nts:(h + 1) * nts, h * hd:(h + 1) * hd].set(
-            tv[:, :, h * hd:(h + 1) * hd])
-        vb = vb.at[:, h * nts:(h + 1) * nts, Ci + h].set(1.0)
+        hm[h, h * hd:(h + 1) * hd] = 1.0          # head-h lane mask
+    hmj = jnp.asarray(hm, jnp.float32)        # fp32: see kernel comment
+    tk = tok_k.astype(jnp.float32) * scale
+    tv = tok_v.astype(jnp.float32)
+    # kb[b, c, h*nts+j] = tk[b, j, c] * hm[h, c]
+    kb = (tk.transpose(0, 2, 1)[:, :, None, :]
+          * hmj.T[None, :, :, None]).reshape(B, Ci, nH * nts)
+    # vb[b, h*nts+j, :Ci] = tv[b, j, :] * hm[h, :]; ones column per head
+    vb3 = (tv[:, None, :, :] * hmj[None, :, None, :]).reshape(B, nH * nts, Ci)
+    ones_cols = np.zeros((nH * nts, nH), np.float32)
+    ones_cols[np.arange(nH * nts), np.arange(nH * nts) // nts] = 1.0
+    vb = jnp.concatenate(
+        [vb3, jnp.broadcast_to(jnp.asarray(ones_cols, jnp.float32),
+                               (B, nH * nts, nH))], axis=-1)
     mb = jnp.tile(mask_bias.reshape(1, nts), (1, nH))
-    e8 = np.zeros((nH, Ci), np.float32)
-    for h in range(nH):
-        e8[h, h * hd:(h + 1) * hd] = 1.0
-    e8 = jnp.asarray(e8, dtype)
+    e8 = hmj
     kernel = functools.partial(_i2t_kernel, num_heads=num_heads, nts=nts,
                                dtype=dtype, eps=eps)
     return pl.pallas_call(

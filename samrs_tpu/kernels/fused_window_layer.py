@@ -600,7 +600,7 @@ def _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
 
 def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
             dtype=jnp.bfloat16, interpret=False, rel_slab=False,
-            grid_ijb=False):
+            grid_ijb=False, padded_out=False):
     B, H, W, C = xn.shape
     nH = num_heads
     hd = C // nH
@@ -666,44 +666,61 @@ def _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
       Wqkv.astype(dtype), bqkv_k.astype(dtype).reshape(1, 3 * C),
       Wproj.astype(dtype), bproj_k.astype(dtype).reshape(1, C),
       eu, ev)
-    return out6.reshape(B, Hp, Wp, C)[:, :H, :W]
+    out_p = out6.reshape(B, Hp, Wp, C)  # free view (dimension merge)
+    return out_p if padded_out else out_p[:, :H, :W]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _pad_like(out, xn, ws):
+    """Zero-pad a cropped (B, H, W, C) layer output to the kernel's padded
+    (B, Hp, Wp, C) geometry (oracle for padded_out=True; pad CONTENT is
+    unspecified — consumers must not read it)."""
+    B, H, W, _ = xn.shape
+    Hp, Wp = -(-H // ws) * ws, -(-W // ws) * ws
+    return jnp.pad(out, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
-           dtype, use_pallas, interpret):
+           dtype, use_pallas, interpret, padded_out=False):
     # use_pallas: False = XLA oracle; True = per-window grid; "row" = one
     # program per window row (big-M qkv/proj matmuls); "qkv_out" = qkv as one
     # giant matmul outside, attention+proj in-kernel; "slab"/"ijb"/"slab_ijb"
     # = per-window grid with the slab rel producer and/or batch-innermost grid
     if use_pallas == "row":
+        assert not padded_out
         return _pallas_row(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                            num_heads, dtype=dtype, interpret=interpret)
     if use_pallas == "qkv_out":
+        assert not padded_out
         return _pallas_q(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                          num_heads, dtype=dtype, interpret=interpret)
     if use_pallas in ("slab", "ijb", "slab_ijb", True):
         return _pallas(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
                        num_heads, dtype=dtype, interpret=interpret,
                        rel_slab=use_pallas in ("slab", "slab_ijb"),
-                       grid_ijb=use_pallas in ("ijb", "slab_ijb"))
-    return window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
-                            num_heads, dtype=dtype)
+                       grid_ijb=use_pallas in ("ijb", "slab_ijb"),
+                       padded_out=padded_out)
+    out = window_layer_xla(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale,
+                           num_heads, dtype=dtype)
+    return _pad_like(out, xn, ws) if padded_out else out
 
 
 def _fwd(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
-         dtype, use_pallas, interpret):
+         dtype, use_pallas, interpret, padded_out=False):
     out = _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
-                 dtype, use_pallas, interpret)
+                 dtype, use_pallas, interpret, padded_out)
     return out, (xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw)
 
 
-def _bwd(ws, scale, num_heads, dtype, use_pallas, interpret, res, g):
+def _bwd(ws, scale, num_heads, dtype, use_pallas, interpret, padded_out,
+         res, g):
     xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw = res
-    _, vjp = jax.vjp(
-        lambda *a: window_layer_xla(*a, ws, scale, num_heads, dtype=dtype),
-        xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw,
-    )
+
+    def oracle(*a):
+        out = window_layer_xla(*a, ws, scale, num_heads, dtype=dtype)
+        return _pad_like(out, a[0], ws) if padded_out else out
+
+    _, vjp = jax.vjp(oracle, xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw)
     return vjp(g)
 
 
@@ -782,6 +799,7 @@ def window_layer_attention(
     interpret: bool = False,
     rows: bool = False,
     variant: str | None = None,
+    return_padded: bool = False,
 ) -> jnp.ndarray:
     """qkv + windowed rel-pos attention + proj; returns (B, H, W, C)
     (pre-residual).  Pallas on TPU, XLA composition elsewhere.
@@ -789,7 +807,11 @@ def window_layer_attention(
     program per window row ("block_row"); "qkv_out" = qkv as one giant
     outside matmul, attention+proj in-kernel ("blockq"); "slab" = slab-matmul
     rel producer; "ijb" = batch-innermost grid; "slab_ijb" = both.
-    rows=True is the legacy spelling of variant="row"."""
+    rows=True is the legacy spelling of variant="row".
+    return_padded=True returns the UNCROPPED (B, Hp, Wp, C) map (a free view
+    of the kernel's block grid); pad content is unspecified — for consumers
+    like fused_tail_ln_mlp_residual that read only the valid region.  Not
+    supported for the "row"/"qkv_out" variants."""
     use_pallas = (not force_xla and jax.default_backend() == "tpu") or (
         interpret and not force_xla
     )
@@ -801,4 +823,4 @@ def window_layer_attention(
     if use_pallas and variant is not None:
         use_pallas = variant
     return _fused(xn, Wqkv, bqkv, Wproj, bproj, Rh, Rw, ws, scale, num_heads,
-                  jnp.dtype(dtype), use_pallas, interpret)
+                  jnp.dtype(dtype), use_pallas, interpret, return_padded)

@@ -165,6 +165,9 @@ class Attention(nn.Module):
     # >0 = partition-free mode ("fused2"): x arrives UNPARTITIONED (B,H,W,C)
     # and the window tiling happens inside the Pallas kernel's BlockSpecs
     window_size: int = 0
+    # return the UNCROPPED padded map from the block-family window kernels
+    # (consumed by the fused sublayer-tail kernel; see Block)
+    return_padded: bool = False
     # sequence parallelism (global layers only; set by Block when a seq mesh
     # is configured): token rows shard over sp_axis, K/V ride the ICI ring
     sp_mesh: Optional[Any] = None
@@ -222,6 +225,8 @@ class Attention(nn.Module):
                          "blockq": "qkv_out", "block_slab": "slab",
                          "block_ijb": "ijb",
                          "block_sg": "slab_ijb"}[self.window_attn_impl],
+                return_padded=self.return_padded
+                and self.window_attn_impl not in ("block_row", "blockq"),
             )
 
         # 2-D input to the qkv projection: XLA emits the plain row-major dot
@@ -371,6 +376,7 @@ class Block(nn.Module):
     window_attn_impl: str = "pallas"
     global_attn_impl: str = "aug"
     mlp_impl: str = "xla"
+    tail_impl: str = "xla"  # 'fused' = crop+residual+LN2+MLP+residual kernel
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
 
@@ -397,6 +403,18 @@ class Block(nn.Module):
         residual_in_kernel = (
             partition_free and self.window_attn_impl == "block2"
         )
+        # sublayer-tail fusion: the window kernel returns its PADDED map (a
+        # free view) and crop + attention-residual + LN2 + MLP + residual all
+        # run in ONE Pallas call (kernels/fused_mlp.fused_tail_ln_mlp_residual)
+        # — the crop slice (127 us) and residual copy_add (67 us) per layer
+        # cannot fuse into either Pallas call under XLA (r4 trace)
+        tail_fused = (
+            partition_free
+            and not residual_in_kernel
+            and self.mlp_impl == "fused"
+            and self.tail_impl == "fused"
+            and self.window_attn_impl not in ("block_row", "blockq")
+        )
         if self.window_size > 0 and not partition_free:
             x, pad_hw = window_partition(x, self.window_size)
             attn_size = (self.window_size, self.window_size)
@@ -417,10 +435,22 @@ class Block(nn.Module):
             window_size=self.window_size if partition_free else 0,
             sp_mesh=self.sp_mesh if self.window_size == 0 else None,
             sp_axis=self.sp_axis,
+            return_padded=tail_fused,
             name="attn",
         )(x, shortcut=shortcut if residual_in_kernel else None)
         if self.window_size > 0 and not partition_free:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        if tail_fused:
+            from samrs_tpu.kernels.fused_mlp import fused_tail_ln_mlp_residual
+
+            C = self.dim
+            M = int(self.dim * self.mlp_ratio)
+            g_ln, b_ln = _LNParams(C, name="norm2")()
+            w1, b1, w2, b2 = _MLPParams(C, M, name="mlp")()
+            return fused_tail_ln_mlp_residual(
+                x, shortcut, g_ln, b_ln, w1, b1, w2, b2, dtype=self.dtype,
+                eps=1e-6, force_xla=self.is_initializing(),
+            )
         if not residual_in_kernel:
             x = shortcut + x
         if self.mlp_impl == "fused":
@@ -474,6 +504,7 @@ class ImageEncoderViT(nn.Module):
     window_attn_impl: str = "pallas"
     global_attn_impl: str = "aug"
     mlp_impl: str = "xla"
+    tail_impl: str = "xla"  # 'fused' = crop+residual+LN2+MLP+residual kernel
     patch_embed_impl: str = "matmul"  # 'matmul' (patch-flatten + dot) | 'conv'
     sp_mesh: Optional[Any] = None
     sp_axis: str = "seq"
@@ -529,6 +560,7 @@ class ImageEncoderViT(nn.Module):
                 window_attn_impl=self.window_attn_impl,
                 global_attn_impl=self.global_attn_impl,
                 mlp_impl=self.mlp_impl,
+                tail_impl=self.tail_impl,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
                 name=f"blocks_{i}",

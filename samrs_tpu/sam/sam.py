@@ -80,6 +80,7 @@ class Sam(nn.Module):
             use_flash=c.use_flash_attention,
             window_attn_impl=c.window_attn_impl,
             mlp_impl=c.mlp_impl,
+            tail_impl=c.tail_impl,
             global_attn_impl=c.global_attn_impl,
             sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis,

@@ -211,25 +211,36 @@ def _ln(x, wb, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _lane_sliced_attn(q, k_img, v_img, num_heads):
-    """Token->image attention with heads as static lane slices of the
-    (B, N, Ci) fused-kernel outputs (no head-split reshape: the (B,N,nH,hd)
-    view einsum forces a full relayout copy of k_img/v_img on TPU).
+def _expanded_head_attn(q, k_img, v_img, num_heads):
+    """Token->image attention with per-head q rows EXPANDED along a tiny
+    (Nt*nH) axis instead of splitting k/v into heads: qexp[b, t*nH+h, :]
+    carries q's head-h slice in head-h's lane block and zeros elsewhere, so
+
+        s[b, t*nH+h, k] = <q_h, k_h>    (ONE batched matmul)
+
+    reads k_img/v_img ONCE in their native (B, N, Ci) layout.  The
+    head-split reshape einsum forced a 205 us relayout copy of each kernel
+    output per use, and the per-head lane-sliced variant (8 slice-casts +
+    16 tiny dots per use) measured WORSE (13.32 vs 11.77 ms decode64, r4).
+    The pv pass attends every (t,h) row over ALL lanes; the head-h lane
+    block is then selected by the same mask, summing over h.
     q (B, Nt, Ci) fp32; k_img/v_img (B, N, Ci) in compute dtype."""
     B, Nt, Ci = q.shape
     hd = Ci // num_heads
     scale = hd ** -0.5
-    outs = []
+    hm = np.zeros((num_heads, Ci), np.float32)
     for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = jnp.einsum("bqd,bkd->bqk", q[:, :, sl] * scale,
-                       k_img[:, :, sl].astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        a = jax.nn.softmax(s, axis=-1)
-        outs.append(jnp.einsum("bqk,bkd->bqd", a,
-                               v_img[:, :, sl].astype(jnp.float32),
-                               preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=-1)
+        hm[h, h * hd:(h + 1) * hd] = 1.0
+    hmj = jnp.asarray(hm, k_img.dtype)
+    qexp = ((q * scale)[:, :, None, :] * hmj[None, None]).reshape(
+        B, Nt * num_heads, Ci).astype(k_img.dtype)
+    s = jnp.einsum("bqc,bkc->bqk", qexp, k_img,
+                   preferred_element_type=jnp.float32)
+    a = jax.nn.softmax(s, axis=-1)
+    o2 = jnp.einsum("bqk,bkc->bqc", a.astype(v_img.dtype), v_img,
+                    preferred_element_type=jnp.float32)
+    return jnp.einsum("bthc,hc->btc", o2.reshape(B, Nt, num_heads, Ci),
+                      hmj.astype(jnp.float32))
 
 
 def _mha(q, k, v, p, num_heads):
@@ -366,12 +377,11 @@ class TwoWayTransformer(nn.Module):
             queries = _ln(queries, p["norm1"])
 
             # 2. token -> image cross-attention (k/v precomputed by the
-            # previous fused sweep); heads as LANE SLICES of the (B, N, Ci)
-            # kernel outputs — the head-split reshape einsum forced a
-            # 205 us {1,2,0} relayout copy of each kernel output (r4 trace)
+            # previous fused sweep); expanded-q formulation reads the kernel
+            # outputs once in native layout (see _expanded_head_attn)
             q = _dense(queries + point_embedding, p["t2i"]["q"])
             queries = queries + _dense(
-                _lane_sliced_attn(q, k_img, v_img, nH), p["t2i"]["o"])
+                _expanded_head_attn(q, k_img, v_img, nH), p["t2i"]["o"])
             queries = _ln(queries, p["norm2"])
 
             # 3. token MLP (relu)
@@ -397,6 +407,6 @@ class TwoWayTransformer(nn.Module):
         # final token -> image attention (:99-104)
         q = _dense(queries + point_embedding, final_p["q"])
         queries = queries + _dense(
-            _lane_sliced_attn(q, k_img, v_img, nH), final_p["o"])
+            _expanded_head_attn(q, k_img, v_img, nH), final_p["o"])
         queries = _ln(queries, norm_final)
         return queries, keys

@@ -143,6 +143,24 @@ def test_qkv_aug_pallas_interpret_matches_oracle(B, H, W, C, nH):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("B,H,W,C,nH", [(2, 16, 16, 32, 4), (1, 16, 32, 64, 8)])
+def test_qkv_m_pallas_interpret_matches_oracle(B, H, W, C, nH):
+    """Merged-rel variant (one fused rel matmul + hoisted v||ones segments)
+    must match the oracle."""
+    from samrs_tpu.kernels.flash_attention import (
+        attention_qkv_relpos_xla,
+        flash_attention_qkv_relpos,
+    )
+
+    qkv_raw, Rh, Rw, hd = _make_qkv(B, H, W, C, nH, seed=5 * H + W)
+    scale = hd**-0.5
+    ref = attention_qkv_relpos_xla(qkv_raw, Rh, Rw, (H, W), scale, nH)
+    got = flash_attention_qkv_relpos(qkv_raw, Rh, Rw, (H, W), scale, nH,
+                                     interpret=True, variant="m")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
 def test_qkv_exp2_pallas_interpret_matches_oracle():
     """Base-2 softmax variant (log2e folded into scale + rel tables) is the
     same mathematical function as the exp path — only rounding differs."""

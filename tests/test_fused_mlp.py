@@ -127,3 +127,87 @@ class TestFusedLnMlpResidual:
         grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w1, w2, g_ln)
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
+
+
+# ------------------------- sublayer tail kernel (crop+add+LN+MLP+residual)
+
+
+def _make_tail(B, H, W, Hp, Wp, C, M, seed=7):
+    rng = np.random.default_rng(seed)
+    att_p = jnp.asarray(rng.normal(size=(B, Hp, Wp, C)), jnp.float32)
+    sc = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    g_ln = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)), jnp.float32)
+    b_ln = jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, M)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(M,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(M, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    return att_p, sc, g_ln, b_ln, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("B,H,W,Hp,Wp", [(2, 16, 16, 21, 21), (1, 32, 16, 32, 16)])
+def test_tail_interpret_matches_oracle(B, H, W, Hp, Wp):
+    from samrs_tpu.kernels.fused_mlp import (
+        fused_tail_ln_mlp_residual,
+        tail_ln_mlp_residual_xla,
+    )
+
+    C, M = 128, 256
+    args = _make_tail(B, H, W, Hp, Wp, C, M)
+    want = tail_ln_mlp_residual_xla(*args, jnp.float32)
+    got = fused_tail_ln_mlp_residual(*args, dtype=jnp.float32, interpret=True)
+    assert got.shape == (B, H, W, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tail_gradients_match_composition():
+    from samrs_tpu.kernels.fused_mlp import (
+        fused_tail_ln_mlp_residual,
+        tail_ln_mlp_residual_xla,
+    )
+
+    args = _make_tail(1, 16, 16, 21, 21, 64, 128)
+    att_p, sc = args[0], args[1]
+
+    def loss_fused(a, s):
+        return jnp.sum(
+            fused_tail_ln_mlp_residual(a, s, *args[2:], dtype=jnp.float32) ** 2)
+
+    def loss_ref(a, s):
+        return jnp.sum(tail_ln_mlp_residual_xla(a, s, *args[2:], jnp.float32) ** 2)
+
+    ga, gs = jax.grad(loss_fused, argnums=(0, 1))(att_p, sc)
+    ra, rs = jax.grad(loss_ref, argnums=(0, 1))(att_p, sc)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), atol=1e-4, rtol=1e-4)
+    # pad positions of att_p must carry ZERO gradient (never read)
+    assert float(jnp.abs(ga[:, 16:, :, :]).max()) == 0.0
+    assert float(jnp.abs(ga[:, :, 16:, :]).max()) == 0.0
+
+
+def test_tail_encoder_wiring_matches_unfused():
+    """tail_impl='fused' (XLA fallback off-TPU) must reproduce the default
+    Block path bit-close on the same params, and share the param tree."""
+    from samrs_tpu.core.config import sam_config
+    from samrs_tpu.sam.build import init_sam_variables
+    from samrs_tpu.sam.sam import Sam
+
+    kw = dict(image_size=112, encoder_embed_dim=64, encoder_depth=2,
+              encoder_num_heads=2, encoder_global_attn_indexes=(1,),
+              window_size=4, compute_dtype="float32",
+              use_flash_attention=False, window_attn_impl="block_ijb",
+              mlp_impl="fused")
+    ref_m = Sam(sam_config("vit_b", tail_impl="xla", **kw))
+    variables = init_sam_variables(ref_m, seed=0)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 112, 112, 3)), jnp.float32)
+    want = ref_m.apply(variables, img, method=Sam.encode_image)
+
+    tail_m = Sam(sam_config("vit_b", tail_impl="fused", **kw))
+    v2 = init_sam_variables(tail_m, seed=0)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(variables))
+    got = tail_m.apply(variables, img, method=Sam.encode_image)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
