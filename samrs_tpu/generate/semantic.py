@@ -101,7 +101,10 @@ class SemanticGenerator:
             masks = pred.upscale_chunk(low_res[c0 : c0 + chunk, 0], binarize=True)
             valid = min(chunk, n - c0)
             cover = _update_cover(cover, masks, jnp.int32(c0), jnp.int32(valid))
-            masks_h = np.asarray(masks[:valid]).astype(np.uint8)
+            # bit-packed D2H: 8x less transfer than fetching the bool masks
+            # (67 MB -> 8.4 MB per 64-mask chunk at 1024²; the fetch dominates
+            # the fleet driver on tunneled transports)
+            masks_h = pred.fetch_masks_packed(masks[:valid]).astype(np.uint8)
             # native batch RLE (C, releases GIL); python fallback inside
             try:
                 from samrs_tpu.native.build import native_rle_encode_batch

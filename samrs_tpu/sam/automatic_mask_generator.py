@@ -35,7 +35,7 @@ from samrs_tpu.sam.amg import (
     uncrop_masks,
     uncrop_points,
 )
-from samrs_tpu.sam.predictor import SamPredictor
+from samrs_tpu.sam.predictor import SamPredictor, unpackbits2d
 
 
 class SamAutomaticMaskGenerator:
@@ -170,37 +170,45 @@ class SamAutomaticMaskGenerator:
         labs[:n, 0] = 1  # positive point; slot 1 is the not-a-point pad
         import jax.numpy as jnp
 
-        low_res, iou_preds = pred._decode(
-            pred.variables, pred.features, jnp.asarray(pts), jnp.asarray(labs), None, True
+        # device-side batch post (predictor._amg_batch): decode + upscale +
+        # stability sums + boxes + THRESHOLDED BIT-PACKED masks.  Only O(n)
+        # scalars are fetched eagerly; mask bits leave the device packed and
+        # only for prompts that survive every filter (the all-host version
+        # fetched (n*3, H, W) fp32 logits — ~13 GB/image at 32² points).
+        iou_d, hi, lo, boxes_d, packed = pred._amg_batch(
+            pred.variables, pred.features, jnp.asarray(pts), jnp.asarray(labs),
+            tuple(pred.input_size), tuple(pred.original_size),
+            self.stability_score_offset,
         )
-        masks = pred._postprocess(
-            low_res, tuple(pred.input_size), tuple(pred.original_size), False
-        )
-        masks = np.asarray(masks[:n]).reshape(-1, *masks.shape[-2:])  # (n*3, H, W) logits
-        iou_preds = np.asarray(iou_preds[:n]).reshape(-1)
-        pts_rep = np.repeat(points, low_res.shape[1], axis=0)
+        nm = iou_d.shape[1]  # masks per prompt (3 for multimask)
+        iou_preds = np.asarray(iou_d[:n]).reshape(-1)
+        hi = np.asarray(hi[:n]).reshape(-1).astype(np.int64)
+        lo = np.asarray(lo[:n]).reshape(-1).astype(np.int64)
+        stability = hi / np.maximum(lo, 1)
+        boxes = np.asarray(boxes_d[:n]).reshape(-1, 4).astype(np.int64)
+        pts_rep = np.repeat(points, nm, axis=0)
 
-        data = MaskData(masks=masks, iou_preds=iou_preds, points=pts_rep)
-
+        keep = np.ones(n * nm, bool)
         if self.pred_iou_thresh > 0.0:
-            data.filter(data["iou_preds"] > self.pred_iou_thresh)
-        mt = pred.cfg.mask_threshold
-        data["stability_score"] = calculate_stability_score(
-            data["masks"], mt, self.stability_score_offset
-        )
+            keep &= iou_preds > self.pred_iou_thresh
         if self.stability_score_thresh > 0.0:
-            data.filter(data["stability_score"] >= self.stability_score_thresh)
+            keep &= stability >= self.stability_score_thresh
+        keep &= ~is_box_near_crop_edge(boxes, crop_box, [0, 0, orig_w, orig_h])
 
-        data["masks"] = data["masks"] > mt
-        data["boxes"] = batched_mask_to_box(data["masks"])
+        idx = np.nonzero(keep)[0]
+        h, w = pred.original_size
+        packed_flat = packed.reshape(-1, *packed.shape[-2:])[: n * nm]
+        packed_kept = pred.amg_take_packed(packed_flat, idx)
+        masks_kept = unpackbits2d(packed_kept, w)
+        masks_kept = uncrop_masks(masks_kept, crop_box, orig_h, orig_w)
 
-        keep = ~is_box_near_crop_edge(data["boxes"], crop_box, [0, 0, orig_w, orig_h])
-        if not keep.all():
-            data.filter(keep)
-
-        data["masks"] = uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
-        data["rles"] = [mask_to_rle(m) for m in data["masks"]]
-        del data["masks"]
+        data = MaskData(
+            iou_preds=iou_preds[idx],
+            points=pts_rep[idx],
+            stability_score=stability[idx],
+            boxes=boxes[idx],
+            rles=[mask_to_rle(m) for m in masks_kept],
+        )
         return data
 
     @staticmethod

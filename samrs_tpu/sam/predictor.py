@@ -38,6 +38,30 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+_BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)  # np.packbits order
+
+
+def packbits2d(m: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) bool -> (..., ceil(W/8)) uint8, np.packbits bit order.
+
+    Device-side mask compression: binary masks leave the device 8x smaller
+    (a (64, 1024, 1024) mask chunk is 8.4 MB packed instead of 67 MB — the
+    D2H transfer dominates the generation drivers on tunneled transports and
+    still costs PCIe time on local hardware)."""
+    W = m.shape[-1]
+    pad = (-W) % 8
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    mu = m.reshape(*m.shape[:-1], (W + pad) // 8, 8).astype(jnp.int32)
+    return jnp.sum(mu * jnp.asarray(_BIT_WEIGHTS), axis=-1).astype(jnp.uint8)
+
+
+def unpackbits2d(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host inverse of packbits2d: (..., ceil(W/8)) uint8 -> (..., W) bool."""
+    out = np.unpackbits(np.asarray(packed, np.uint8), axis=-1)
+    return out[..., :width].astype(bool)
+
+
 class SamPredictor:
     def __init__(
         self,
@@ -105,9 +129,40 @@ class SamPredictor:
                 out = out > cfg.mask_threshold
             return out
 
+        @functools.partial(
+            jax.jit, static_argnames=("input_size", "original_size", "offset")
+        )
+        def _amg_batch(variables, features, points, labels, input_size,
+                       original_size, offset):
+            """Device-side AMG batch post: decode + upscale + stability sums +
+            boxes + THRESHOLDED BIT-PACKED masks.  The first AMG design
+            fetched the (nb, 3, H, W) fp32 logit masks to the host
+            (~800 MB/batch at 1024² — 13 GB/image through the device
+            transport); here only O(nb) scalars leave the device eagerly and
+            survivors' masks are fetched bit-packed (amg_take_packed)."""
+            low_res, iou = _decode(variables, features, points, labels, None,
+                                   True)
+            masks = _postprocess(low_res, input_size, original_size, False)
+            mt = cfg.mask_threshold
+            hi = jnp.sum(masks > (mt + offset), axis=(-1, -2), dtype=jnp.int32)
+            lo = jnp.sum(masks > (mt - offset), axis=(-1, -2), dtype=jnp.int32)
+            mb = masks > mt
+            ys = jnp.any(mb, axis=-1)
+            xs = jnp.any(mb, axis=-2)
+            H, W = ys.shape[-1], xs.shape[-1]
+            top = jnp.argmax(ys, -1)
+            bot = H - 1 - jnp.argmax(ys[..., ::-1], -1)
+            left = jnp.argmax(xs, -1)
+            right = W - 1 - jnp.argmax(xs[..., ::-1], -1)
+            # inclusive xyxy (batched_mask_to_box convention); zeros if empty
+            boxes = jnp.stack([left, top, right, bot], -1).astype(jnp.int32)
+            boxes = jnp.where(jnp.any(ys, -1)[..., None], boxes, 0)
+            return iou, hi, lo, boxes, packbits2d(mb)
+
         self._encode = _encode
         self._decode = _decode
         self._postprocess = _postprocess
+        self._amg_batch = _amg_batch
 
     # ------------------------------------------------------------------ image
 
@@ -348,6 +403,33 @@ class SamPredictor:
         return self._postprocess(
             low_res_chunk, tuple(self.input_size), tuple(self.original_size), binarize
         )
+
+    def fetch_masks_packed(self, masks) -> np.ndarray:
+        """Fetch device binary masks (..., H, W) to the host via bit-packing
+        (8x less D2H traffic); returns a host bool array of the same shape."""
+        key = ("packbits", masks.shape, str(masks.dtype))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(packbits2d)
+            self._jit_cache[key] = fn
+        return unpackbits2d(np.asarray(fn(masks)), masks.shape[-1])
+
+    def amg_take_packed(self, packed, idx: np.ndarray) -> np.ndarray:
+        """Gather survivor rows of a device (N, H, Wp) packed-mask array by
+        host indices and fetch ONLY those (bucket-padded so the gather jit
+        compiles once per bucket); returns (len(idx), H, Wp) uint8 on host."""
+        n = len(idx)
+        if n == 0:
+            return np.zeros((0, *packed.shape[-2:]), np.uint8)
+        nb = _bucket(n, self.buckets)
+        pad_idx = np.zeros(nb, np.int32)
+        pad_idx[:n] = idx
+        key = ("amg_take", packed.shape, nb)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, i: jnp.take(p, i, axis=0))
+            self._jit_cache[key] = fn
+        return np.asarray(fn(packed, jnp.asarray(pad_idx)))[:n]
 
     # ------------------------------------------------------------- internals
 

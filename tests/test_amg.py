@@ -127,3 +127,21 @@ def test_automatic_mask_generator_runs(tiny_sam):
         }
         assert a["segmentation"].shape == (48, 64)
         assert a["area"] == int(a["segmentation"].sum())
+
+
+def test_packbits_roundtrip():
+    """Device packbits2d must invert exactly through np.unpackbits, incl.
+    widths that are not multiples of 8."""
+    import jax.numpy as jnp
+
+    from samrs_tpu.sam.predictor import packbits2d, unpackbits2d
+
+    rng = np.random.default_rng(0)
+    for shape in [(3, 16, 24), (2, 5, 13), (1, 7, 8), (4, 1024 // 16, 100)]:
+        m = rng.random(shape) > 0.5
+        packed = np.asarray(packbits2d(jnp.asarray(m)))
+        assert packed.shape == (*shape[:-1], -(-shape[-1] // 8))
+        got = unpackbits2d(packed, shape[-1])
+        np.testing.assert_array_equal(got, m)
+        # matches np.packbits bit order exactly
+        np.testing.assert_array_equal(packed, np.packbits(m, axis=-1))
