@@ -165,19 +165,32 @@ class SamConfig(Config):
     # residual copy_add can't fuse into Pallas calls under XLA, ~194 us/layer)
     # | 'xla' (crop + add outside, then the mlp_impl path).  Requires
     # mlp_impl='fused' and a block-family window_attn_impl to take effect.
+    # MEASURED A WASH on the full ViT-H B=4 encode (2026-08-19): 53.90 vs
+    # 53.93 ms/img, and 52.33 vs 52.40 on top of global 'm' — the removed
+    # slice/copy_add ops overlap with kernel time, while the tail kernel
+    # runs slightly longer than the plain MLP-sublayer kernel.  Kept for
+    # larger maps / future A/Bs; default stays 'xla'.
     upscale_impl: str = "fused"  # mask-decoder upscale+hypernetwork tail:
     # 'fused' = single-pass Pallas kernel (conv taps + LN + gelus + mask dot
     # in VMEM, only the requested mask tokens) | 'xla' (tap-matmul composition)
-    twoway_impl: str = "xla"  # TwoWayTransformer decode: 'fused' = image-side
-    # Pallas sweeps (kernels/fused_twoway.py: one kv-projection pass + one
-    # pass per layer fusing q-proj + i2t attention + out-proj + residual +
-    # norm4 + the next t2i K/V) | 'xla' (module composition).  Default
-    # pending the on-TPU A/B (scratch/ab_twoway.py).
-    global_attn_impl: str = "split"  # global-attention flash-kernel variant:
+    twoway_impl: str = "fused"  # TwoWayTransformer decode: 'fused' =
+    # image-side Pallas sweeps (kernels/fused_twoway.py: one kv-projection
+    # pass + one pass per layer fusing q-proj + block-diagonal all-heads i2t
+    # attention + out-proj + residual + norm4 + the next t2i K/V; t2i via
+    # expanded-q rows) | 'xla' (module composition).  A/B on the 64-box
+    # decode jit (scratch/ab_twoway.py, 2026-08-19): 9.15 vs 10.96 ms/call,
+    # per-mask IoU vs 'xla' min 0.99721 / mean 0.99821 on random weights
+    # (the same order as the TPU-default-precision vs true-fp32 gap).
+    global_attn_impl: str = "m"  # global-attention flash-kernel variant:
+    # 'm' = split with the two rel matmuls MERGED into one 128-lane-
+    # contraction matmul (one VPU add instead of two; the rel bias costs one
+    # MXU chunk instead of two) and v||ones hoisted outside as 8-aligned
+    # per-head segments.  A/B inside the full ViT-H B=4 encode jit
+    # (2026-08-19): 52.40 vs 53.93 ms/img 'split', BIT-IDENTICAL outputs.
     # 'aug' = rel-pos folded into the qk matmul via augmented 128-aligned
-    # per-head q/k segments (one MXU op per head) | 'split' = separate
-    # in-kernel rel matmuls accumulated on the VPU (the r3 kernel).
-    # Default pending the on-TPU A/B (scratch/ab_globals.py).
+    # per-head q/k segments (measured-negative: 54.00 vs 53.64) | 'split' =
+    # separate in-kernel rel matmuls accumulated on the VPU (the r3 kernel)
+    # | 'exp2' = base-2 softmax split (wash: 53.74 vs 53.63).
 
     WINDOW_ATTN_IMPLS = ("block", "fused", "fused2", "pallas", "xla",
                          "blockq", "block_row", "block2", "block_slab",

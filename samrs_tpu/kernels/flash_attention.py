@@ -521,7 +521,7 @@ def flash_attention_qkv_relpos(
     num_heads: int,
     force_xla: bool = False,
     interpret: bool = False,
-    variant: str = "aug",
+    variant: str = "m",
 ) -> jnp.ndarray:
     """Transpose-free global attention: heads are in-kernel static lane
     slices of the raw qkv tensor; output is (B, N, C), proj-ready.  Replaces

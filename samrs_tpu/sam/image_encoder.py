@@ -161,7 +161,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
-    global_attn_impl: str = "aug"
+    global_attn_impl: str = "m"
     # >0 = partition-free mode ("fused2"): x arrives UNPARTITIONED (B,H,W,C)
     # and the window tiling happens inside the Pallas kernel's BlockSpecs
     window_size: int = 0
@@ -374,7 +374,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
-    global_attn_impl: str = "aug"
+    global_attn_impl: str = "m"
     mlp_impl: str = "xla"
     tail_impl: str = "xla"  # 'fused' = crop+residual+LN2+MLP+residual kernel
     sp_mesh: Optional[Any] = None
@@ -502,7 +502,7 @@ class ImageEncoderViT(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     window_attn_impl: str = "pallas"
-    global_attn_impl: str = "aug"
+    global_attn_impl: str = "m"
     mlp_impl: str = "xla"
     tail_impl: str = "xla"  # 'fused' = crop+residual+LN2+MLP+residual kernel
     patch_embed_impl: str = "matmul"  # 'matmul' (patch-flatten + dot) | 'conv'
