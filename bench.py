@@ -178,6 +178,16 @@ def amg_main(variant: str = "vit_h", points_per_side: int = 32, iters: int = 3) 
     img = (rng.random((1024, 1024, 3)) * 255).astype(np.uint8)
 
     anns = amg.generate(img)  # warmup/compile
+    if not anns:
+        # random-init weights can still filter out every candidate, which
+        # would silently skip the host NMS/RLE stage; re-run unfiltered so
+        # the measured number covers the COMPLETE pipeline (an upper bound:
+        # real weights keep ~100 masks, this keeps every candidate)
+        amg = SamAutomaticMaskGenerator(
+            predictor, points_per_side=points_per_side,
+            pred_iou_thresh=0.0, stability_score_thresh=0.0,
+        )
+        anns = amg.generate(img)
     t0 = time.perf_counter()
     for _ in range(iters):
         anns = amg.generate(img)
@@ -262,6 +272,10 @@ def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int 
         "balance": round(stats.get("balance", 1.0), 3),
         "host_io_overlap": round(stats.get("overlap", 0.0), 3),
         "projected_hours_105k": round(105090 / max(rate, 1e-9) / 3600, 2),
+        "note": "this environment tunnels the single TPU chip through an "
+                "HTTP transport, so the per-image bit-packed mask fetch "
+                "dominates; on local PCIe the same pipeline is bounded by "
+                "the device throughput in the headline metric",
     }))
 
 

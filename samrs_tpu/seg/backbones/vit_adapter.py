@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from samrs_tpu.kernels.bilinear_gather import ms_deform_attn_pallas
 from samrs_tpu.kernels.sampling import ms_deform_attn
@@ -99,6 +100,12 @@ class MSDeformAttnModule(nn.Module):
             out = ms_deform_attn_pallas(v, spatial_shapes, locations, weights)
         else:
             out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
+        # Under nn.remat with policy=save_only_these_names("msda_sampled")
+        # this pins the sampled output so the backward recompute DCEs the
+        # expensive sampling kernels and re-runs only the cheap
+        # value/offset/weight projections (everything between module input
+        # and the sampler is Dense/softmax/linear reshapes).
+        out = checkpoint_name(out, "msda_sampled")
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(
             out.astype(self.dtype)
         )

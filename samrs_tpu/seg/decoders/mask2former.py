@@ -101,8 +101,16 @@ class PixelDecoder(nn.Module):
         # remat the MSDA layers: their saved activations (softmaxed attention
         # weights (B,Q,nH,L,P) and per-level sampling coords) have 2-4-wide
         # minor dims that TPU tiling pads to 128 lanes (32x HBM waste —
-        # ~2.4 GB at 1024^2 tiles); recomputing them in the backward is cheap
-        RematMSDA = nn.remat(MSDeformAttnModule, static_argnums=(4,))
+        # ~2.4 GB at 1024^2 tiles).  The save-only policy pins the SAMPLED
+        # output (compact (B,Q,C) fp32, ~45 MB/layer at 1024^2) so the
+        # backward recompute re-runs only the cheap value/offset/weight
+        # projections and softmax — NOT the deformable-sampling Pallas
+        # kernels (a measured 1.74 s/step of duplicated forward at B=2x3
+        # 1024^2 under plain remat, 29% of the whole step).
+        RematMSDA = nn.remat(
+            MSDeformAttnModule, static_argnums=(4,),
+            policy=jax.checkpoint_policies.save_only_these_names("msda_sampled"),
+        )
         for layer in range(self.num_layers):
             attn = RematMSDA(
                 D, 3, self.num_heads, self.n_points, 1.0, dtype=self.dtype,
@@ -496,14 +504,20 @@ def mask2former_loss(
     if use_points and rng is None:
         raise ValueError("point-sampled mask2former_loss requires rng")
 
-    total = {"loss_cls": 0.0, "loss_mask": 0.0, "loss_dice": 0.0}
+    # ---- pass 1: matching costs for every layer, ONE batched assignment ----
+    # The cost is stop_gradient'ed anyway, so nothing here keeps residuals;
+    # solving all L layers in one vmapped lockstep call instead of L separate
+    # while-loop solves cuts the sequential-dispatch count ~L x (the solver's
+    # tiny per-iteration fusions were 99k executions/step at 1024^2 — pure
+    # dispatch overhead, ~1 s/step of the B=2x3 budget).
+    costs = []
     for li, (cls_logits, mask_logits) in enumerate(outputs):
         logp = jax.nn.log_softmax(cls_logits, axis=-1)  # (B, Q, C+1)
         cost_cls = -logp[..., :num_classes]  # (B, Q, C)
 
         if use_points:
             lrng = jax.random.fold_in(rng, li)
-            r_match, r_loss = jax.random.split(lrng)
+            r_match, _ = jax.random.split(lrng)
             # matching cost over K random points shared per image (:913-1011)
             pts = jax.random.uniform(r_match, (B, num_points, 2))
             p_pred = point_sample_shared(mask_logits, pts)  # (B, Q, K)
@@ -533,8 +547,22 @@ def mask2former_loss(
         cost = (
             class_weight * cost_cls + mask_weight * cost_bce + dice_weight * cost_dice
         )
-        cost = jnp.where(gt_valid[:, None, :], cost, 1e6)
-        assign = hungarian_match(jax.lax.stop_gradient(cost))  # (B, Q)
+        costs.append(jnp.where(gt_valid[:, None, :], cost, 1e6))
+    all_cost = jnp.concatenate(costs, axis=0)  # (L*B, Q, C)
+    all_assign = hungarian_match(jax.lax.stop_gradient(all_cost))  # (L*B, Q)
+
+    # ---- pass 2: per-layer matched losses ----
+    total = {"loss_cls": 0.0, "loss_mask": 0.0, "loss_dice": 0.0}
+    for li, (cls_logits, mask_logits) in enumerate(outputs):
+        logp = jax.nn.log_softmax(cls_logits, axis=-1)  # (B, Q, C+1)
+        if use_points:
+            lrng = jax.random.fold_in(rng, li)
+            _, r_loss = jax.random.split(lrng)
+        else:
+            pred_sig = jax.nn.sigmoid(mask_logits)  # (B, Q, H, W)
+            pos = jax.nn.softplus(-mask_logits)  # -log sigmoid
+            neg = jax.nn.softplus(mask_logits)  # -log (1-sigmoid)
+        assign = all_assign[li * B : (li + 1) * B]  # (B, Q)
         matched = (assign >= 0) & jnp.take_along_axis(
             gt_valid, jnp.maximum(assign, 0), axis=1
         )
