@@ -154,6 +154,113 @@ def _bwd_kernel(fx_ref, fy_ref, fyT_ref, mask_ref, xg_ref, xgT_ref, e2T_ref,
     dmask_ref[0] = jnp.concatenate(dmask_cols, axis=1).astype(dmask_ref.dtype)
 
 
+def _fwd_kernel_slab(fx_ref, fy_ref, mask_ref, xg_ref, e2_ref, out_ref,
+                     t_ref, acc_ref, *, K, Gc, Hs, mm_dtype):
+    """Row-slab-skipping forward: the hat matmul runs per Hs-row slab of the
+    map, predicated on whether ANY tap row of this query block lands in the
+    slab.  Query blocks are raster-contiguous for every wrapper (DCNv3 output
+    pixels, MSDeformAttn multi-scale tokens), so their sampling rows span a
+    narrow band when offsets are local (deformable-DETR init is a <=P_t-pixel
+    ring) and most slab dots are branched over at runtime.  Exact: slabs
+    partition the hat support, and a skipped slab has all-zero hat weights
+    AND all-zero dhat rows (the predicate covers the half-open dhat support
+    at fy+1), so fwd and every VJP term are untouched."""
+    H = xg_ref.shape[1]
+    P = fx_ref.shape[1]
+    WGc = xg_ref.shape[2]
+    fx = fx_ref[0]  # (P, K) fp32 absolute pixel coords
+    fy = fy_ref[0]
+    lane_x = (jax.lax.broadcasted_iota(jnp.int32, (P, WGc), 1) // Gc).astype(jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(K):
+        fyk = fy[:, k : k + 1]
+        lo = jnp.min(fyk)
+        hi = jnp.max(fyk)
+        t_ref[...] = jnp.zeros_like(t_ref)
+        for s in range(H // Hs):
+            # slab rows [s*Hs, s*Hs+Hs-1] vs tap support [lo-1, hi+1]
+            @pl.when((s * Hs <= hi + 1.0) & (s * Hs + Hs - 1.0 >= lo - 1.0))
+            def _(s=s, fyk=fyk):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (P, Hs), 1)
+                        + s * Hs).astype(jnp.float32)
+                wy = _hat(fyk - iota)  # (P, Hs)
+                xs = xg_ref[0, s * Hs : (s + 1) * Hs, :].astype(mm_dtype)
+                t_ref[...] += jax.lax.dot(
+                    wy.astype(mm_dtype), xs, preferred_element_type=jnp.float32)
+        wx = _hat(fx[:, k : k + 1] - lane_x)  # (P, WGc)
+        acc_ref[...] += mask_ref[0, :, k : k + 1] * wx * t_ref[...]
+    out = jax.lax.dot(acc_ref[...].astype(mm_dtype), e2_ref[...].astype(mm_dtype),
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel_slab(fx_ref, fy_ref, mask_ref, xg_ref, xgT_ref, e2T_ref,
+                     dout_ref, dxg_ref, dfx_ref, dfy_ref, dmask_ref,
+                     t_ref, dfy_sc, *, K, Gc, Hs, mm_dtype):
+    """Transposed counterpart of `_fwd_kernel_slab`: all three per-tap hat
+    matmuls (t recompute, dxg scatter rows, dwy columns) run only on active
+    slabs.  dxg slab rows accumulate in place; dfy accumulates in a (P, K)
+    scratch because contributions live inside the predicated regions."""
+    H = xg_ref.shape[1]
+    P = fx_ref.shape[1]
+    WGc = xg_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dxg_ref[0] = jnp.zeros_like(dxg_ref[0])
+
+    fx = fx_ref[0]  # (P, K)
+    fy = fy_ref[0]
+    lane_x = (jax.lax.broadcasted_iota(jnp.int32, (P, WGc), 1) // Gc).astype(jnp.float32)
+    R = jax.lax.dot(dout_ref[0].astype(mm_dtype), e2T_ref[...].astype(mm_dtype),
+                    preferred_element_type=jnp.float32)  # (P, WGc)
+    dfy_sc[...] = jnp.zeros_like(dfy_sc)
+    dfx_cols = []
+    dmask_cols = []
+    for k in range(K):
+        fyk = fy[:, k : k + 1]
+        lo = jnp.min(fyk)
+        hi = jnp.max(fyk)
+        t_ref[...] = jnp.zeros_like(t_ref)
+        for s in range(H // Hs):
+            @pl.when((s * Hs <= hi + 1.0) & (s * Hs + Hs - 1.0 >= lo - 1.0))
+            def _t(s=s, fyk=fyk):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (P, Hs), 1)
+                        + s * Hs).astype(jnp.float32)
+                wy = _hat(fyk - iota)
+                xs = xg_ref[0, s * Hs : (s + 1) * Hs, :].astype(mm_dtype)
+                t_ref[...] += jax.lax.dot(
+                    wy.astype(mm_dtype), xs, preferred_element_type=jnp.float32)
+        t = t_ref[...]
+        tx = fx[:, k : k + 1] - lane_x
+        wx = _hat(tx)
+        m_k = mask_ref[0, :, k : k + 1]
+        dmask_cols.append(jnp.sum(wx * R * t, axis=1, keepdims=True))
+        g_k = m_k * R
+        dT = (g_k * wx).astype(mm_dtype)  # (P, WGc)
+        dfx_cols.append(jnp.sum(g_k * t * _dhat(tx), axis=1, keepdims=True))
+        for s in range(H // Hs):
+            @pl.when((s * Hs <= hi + 1.0) & (s * Hs + Hs - 1.0 >= lo - 1.0))
+            def _sc(s=s, fyk=fyk, k=k, dT=dT):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (P, Hs), 1)
+                        + s * Hs).astype(jnp.float32)
+                ty = fyk - iota  # (P, Hs)
+                wyT = _hat(ty).astype(mm_dtype)
+                # dxg[slab] += wy^T @ dT  (contract over queries)
+                dxg_ref[0, s * Hs : (s + 1) * Hs, :] += jax.lax.dot_general(
+                    wyT, dT, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dxg_ref.dtype)
+                # dwy[:, slab] = dT @ xgT[:, slab]
+                dws = jax.lax.dot(
+                    dT, xgT_ref[0, :, s * Hs : (s + 1) * Hs].astype(mm_dtype),
+                    preferred_element_type=jnp.float32)  # (P, Hs)
+                dfy_sc[:, k : k + 1] += jnp.sum(dws * _dhat(ty), axis=1,
+                                                keepdims=True)
+    dfx_ref[0] = jnp.concatenate(dfx_cols, axis=1).astype(dfx_ref.dtype)
+    dfy_ref[0] = dfy_sc[...].astype(dfy_ref.dtype)
+    dmask_ref[0] = jnp.concatenate(dmask_cols, axis=1).astype(dmask_ref.dtype)
+
+
 def _block_size(P: int) -> int:
     return 128 if P >= 128 else _round_up(P, 8)
 
@@ -175,10 +282,15 @@ def _vmem_limit(P_blk: int, H: int, WGc: int) -> Optional[int]:
     return int(min(100_000_000, 2 * est))
 
 
-def _pad_p(a: jnp.ndarray, Pp: int):
+def _pad_p(a: jnp.ndarray, Pp: int, edge: bool = False):
     P = a.shape[1]
     if P == Pp:
         return a
+    if edge:
+        # slab mode: replicate the last real query's coords so the final
+        # block's in-kernel row bounds stay tight (zero pads would pull the
+        # band to row 0); padded outputs are cropped, so values don't matter
+        return jnp.pad(a, ((0, 0), (0, Pp - P), (0, 0)), mode="edge")
     return jnp.pad(a, ((0, 0), (0, Pp - P), (0, 0)))
 
 
@@ -195,7 +307,7 @@ def _e2(W: int, Gc: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sampler(Gc: int, interpret: bool):
+def _make_sampler(Gc: int, interpret: bool, slab: int = 0):
     def fwd_call(xg, fx, fy, mask):
         BG, H, WGc = xg.shape
         _, P, K = fx.shape
@@ -203,11 +315,20 @@ def _make_sampler(Gc: int, interpret: bool):
         P_blk = _block_size(P)
         Pp = _round_up(P, P_blk)
         mm_dtype = xg.dtype if xg.dtype == jnp.bfloat16 else jnp.float32
-        fxp, fyp, mp = _pad_p(fx, Pp), _pad_p(fy, Pp), _pad_p(mask, Pp)
+        fxp = _pad_p(fx, Pp, edge=slab > 0)
+        fyp = _pad_p(fy, Pp, edge=slab > 0)
+        mp = _pad_p(mask, Pp)
         e2 = jnp.asarray(_e2(W, Gc))
         nblk = Pp // P_blk
+        if slab > 0:
+            kern = functools.partial(_fwd_kernel_slab, K=K, Gc=Gc, Hs=slab,
+                                     mm_dtype=mm_dtype)
+            scratch = [pltpu.VMEM((P_blk, WGc), jnp.float32)] * 2
+        else:
+            kern = functools.partial(_fwd_kernel, K=K, Gc=Gc, mm_dtype=mm_dtype)
+            scratch = []
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, K=K, Gc=Gc, mm_dtype=mm_dtype),
+            kern,
             grid=(BG, nblk),
             in_specs=[
                 pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fx
@@ -218,11 +339,61 @@ def _make_sampler(Gc: int, interpret: bool):
             ],
             out_specs=pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),
             out_shape=jax.ShapeDtypeStruct((BG, Pp, Gc), jnp.float32),
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_vmem_limit(P_blk, H, WGc)),
             interpret=interpret,
         )(fxp, fyp, mp, xg, e2)
         return out[:, :P]
+
+    def bwd_call_slab(xg, fx, fy, mask, dout):
+        BG, H, WGc = xg.shape
+        _, P, K = fx.shape
+        W = WGc // Gc
+        P_blk = _block_size(P)
+        Pp = _round_up(P, P_blk)
+        mm_dtype = xg.dtype if xg.dtype == jnp.bfloat16 else jnp.float32
+        fxp = _pad_p(fx, Pp, edge=True)
+        fyp = _pad_p(fy, Pp, edge=True)
+        mp = _pad_p(mask, Pp)
+        xgT = xg.transpose(0, 2, 1)   # (BG, WGc, H)
+        e2T = jnp.asarray(_e2(W, Gc).T)
+        dout_p = _pad_p(dout, Pp).astype(jnp.float32)
+        nblk = Pp // P_blk
+        dxg, dfx, dfy, dm = pl.pallas_call(
+            functools.partial(_bwd_kernel_slab, K=K, Gc=Gc, Hs=slab,
+                              mm_dtype=mm_dtype),
+            grid=(BG, nblk),
+            in_specs=[
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fx
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # fy
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),   # mask
+                pl.BlockSpec((1, H, WGc), lambda bg, p: (bg, 0, 0)),     # xg
+                pl.BlockSpec((1, WGc, H), lambda bg, p: (bg, 0, 0)),     # xgT
+                pl.BlockSpec((Gc, WGc), lambda bg, p: (0, 0)),           # e2T
+                pl.BlockSpec((1, P_blk, Gc), lambda bg, p: (bg, p, 0)),  # dout
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H, WGc), lambda bg, p: (bg, 0, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+                pl.BlockSpec((1, P_blk, K), lambda bg, p: (bg, p, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BG, H, WGc), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+                jax.ShapeDtypeStruct((BG, Pp, K), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((P_blk, WGc), jnp.float32),
+                pltpu.VMEM((P_blk, K), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit(P_blk, H, WGc)),
+            interpret=interpret,
+        )(fxp, fyp, mp, xg, xgT, e2T, dout_p)
+        return (dxg.astype(xg.dtype), dfx[:, :P], dfy[:, :P], dm[:, :P])
 
     def bwd_call(xg, fx, fy, mask, dout):
         BG, H, WGc = xg.shape
@@ -287,22 +458,49 @@ def _make_sampler(Gc: int, interpret: bool):
 
     def sampler_bwd(res, dout):
         xg, fxT, fyT, maskT = res
-        return bwd_call(xg, fxT.transpose(0, 2, 1), fyT.transpose(0, 2, 1),
-                        maskT.transpose(0, 2, 1), dout)
+        bwd = bwd_call_slab if slab > 0 else bwd_call
+        return bwd(xg, fxT.transpose(0, 2, 1), fyT.transpose(0, 2, 1),
+                   maskT.transpose(0, 2, 1), dout)
 
     sampler.defvjp(sampler_fwd, sampler_bwd)
     return sampler
 
 
+def _auto_slab(H: int) -> int:
+    """Row-slab height for the skip kernels: 0 (dense) for small maps.
+
+    ``SAMRS_BILINEAR_SLAB=0`` forces the dense kernels (A/B escape hatch);
+    any other integer value forces that slab height where it divides H."""
+    import os
+
+    env = os.environ.get("SAMRS_BILINEAR_SLAB")
+    if env is not None:
+        s = int(env)
+        return s if s > 0 and H % s == 0 else 0
+    if H >= 32 and H % 16 == 0:
+        return 16
+    if H >= 32 and H % 8 == 0:
+        return 8
+    return 0
+
+
 def sample_weighted(xg: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
                     mask: jnp.ndarray, group_channels: int,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, row_slab: int = 0) -> jnp.ndarray:
     """Weighted bilinear gather core (absolute pixel coords, zero padding).
 
     xg (BG, H, W*Gc) any float dtype; fx/fy/mask (BG, P, K) fp32.
     Returns (BG, P, Gc) fp32: sum_k mask_k * xg[fy_k, fx_k, :].
+    row_slab > 0 (must divide H) selects the slab-skipping kernels: hat
+    matmuls run per row_slab-row slab of the map, branched over when no tap
+    of the query block lands there — a large win when sampling offsets are
+    local relative to the map height (deformable attention), a small
+    constant loss otherwise.
     """
-    return _make_sampler(int(group_channels), bool(interpret))(xg, fx, fy, mask)
+    if row_slab > 0 and xg.shape[1] % row_slab != 0:
+        row_slab = 0
+    return _make_sampler(int(group_channels), bool(interpret),
+                         int(row_slab))(xg, fx, fy, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -347,11 +545,15 @@ def dcnv3_pallas(
     group_channels: int = 16,
     offset_scale: float = 1.0,
     interpret: bool = False,
+    row_slab: Optional[int] = None,
 ) -> jnp.ndarray:
     """DCNv3 core, same semantics as kernels/sampling.py::dcnv3 (NHWC).
 
     x (B,H,W,G*Gc) any float dtype; offset (B,Ho,Wo,G*K*2) and mask
     (B,Ho,Wo,G*K) fp32.  Returns (B,Ho,Wo,G*Gc) fp32.
+    row_slab: None = auto (slab-skipping hat matmuls on maps >= 32 rows;
+    DCNv3 taps are a 3x3 ring plus small learned offsets around each output
+    pixel, so a raster query block touches a narrow row band); 0 = dense.
     """
     B, H, W, _ = x.shape
     _, Ho, Wo, _ = offset.shape
@@ -366,7 +568,9 @@ def dcnv3_pallas(
     fx = jnp.asarray(bx) + off[..., 0] * offset_scale
     fy = jnp.asarray(by) + off[..., 1] * offset_scale
 
-    out = sample_weighted(xg, fx, fy, m, Gc, interpret)  # (BG, P, Gc)
+    slab = _auto_slab(H) if row_slab is None else row_slab
+    out = sample_weighted(xg, fx, fy, m, Gc, interpret,
+                          row_slab=slab)  # (BG, P, Gc)
     out = out.reshape(B, G, Ho, Wo, Gc).transpose(0, 2, 3, 1, 4)
     return out.reshape(B, Ho, Wo, G * Gc)
 
@@ -585,6 +789,7 @@ def ms_deform_attn_pallas(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     interpret: bool = False,
+    row_slab: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention on the hat-matmul core.
 
@@ -593,6 +798,9 @@ def ms_deform_attn_pallas(
     (B,Q,nH,L,P).  Returns (B,Q,nH*D) fp32.
     Oracle: kernels/sampling.py::ms_deform_attn (itself parity-tested against
     ms_deform_attn_core_pytorch, ED/backbone/ops/functions/ms_deform_attn_func.py:49-71).
+    row_slab: None = auto per level (slab-skipping kernels on maps >= 32 rows
+    — queries are raster tokens, so each 128-query block samples a narrow
+    row band and the skipped slab matmuls dominate at large maps); 0 = dense.
     """
     B, S, nH, D = value.shape
     _, Q, _, L, Pt, _ = sampling_locations.shape
@@ -610,7 +818,9 @@ def ms_deform_attn_pallas(
         fy = loc[..., 1] * h - 0.5
         wts = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
         wts = wts.reshape(B * nH, Q, Pt).astype(jnp.float32)
+        slab = _auto_slab(h) if row_slab is None else row_slab
         out = out + sample_weighted(xg, fx.astype(jnp.float32),
-                                    fy.astype(jnp.float32), wts, D, interpret)
+                                    fy.astype(jnp.float32), wts, D, interpret,
+                                    row_slab=slab)
     out = out.reshape(B, nH, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, nH * D)

@@ -189,6 +189,77 @@ def test_ms_deform_attn_large_map_small_blocks(rng):
         atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("spread", [0.06, 1.0])
+def test_ms_deform_attn_row_slab_matches_oracle(rng, spread):
+    """Slab-skipping kernels vs the oracle: clustered sampling rows (the
+    deformable regime where slabs are skipped) and fully scattered rows
+    (every slab active), incl. out-of-map coords and a padded last block."""
+    B, nH, D, Pt = 1, 2, 8, 4
+    shapes = [(32, 16), (16, 8)]  # level 0 slabs (Hs=16), level 1 dense
+    S = sum(h * w for h, w in shapes)
+    Q = 133  # pads the last block -> edge-padded coords path
+    val = jnp.asarray(rng.normal(size=(B, S, nH, D)), jnp.float32)
+    base = rng.random((B, Q, nH, 2, 1, 1)) * 1.1 - 0.05
+    jitter = (rng.random((B, Q, nH, 2, Pt, 2)) - 0.5) * spread
+    loc = jnp.asarray(base + jitter, jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, Q, nH, 2, Pt)), jnp.float32))
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_pallas(val, shapes, loc, w, interpret=True,
+                                row_slab=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def l_ref(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn(v, shapes, l, ww)))
+
+    def l_ker(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn_pallas(
+            v, shapes, l, ww, interpret=True, row_slab=16)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1, 2))(val, loc, w)
+    gk = jax.grad(l_ker, argnums=(0, 1, 2))(val, loc, w)
+    for a, b, name in zip(gr, gk, ["dvalue", "dloc", "dweights"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_auto_slab_selection(monkeypatch):
+    from samrs_tpu.kernels.bilinear_gather import _auto_slab
+
+    assert _auto_slab(128) == 16 and _auto_slab(64) == 16
+    assert _auto_slab(56) == 8   # internimage 224^2 stage
+    assert _auto_slab(16) == 0 and _auto_slab(14) == 0 and _auto_slab(33) == 0
+    monkeypatch.setenv("SAMRS_BILINEAR_SLAB", "0")
+    assert _auto_slab(128) == 0
+    monkeypatch.setenv("SAMRS_BILINEAR_SLAB", "32")
+    assert _auto_slab(128) == 32 and _auto_slab(56) == 0
+
+
+def test_dcnv3_row_slab_matches_oracle(rng):
+    """DCNv3 on a >=32-row map auto-selects the slab kernels (H=40 -> Hs=8);
+    values and all gradients must match the dense oracle."""
+    G, Gc, H, W = 2, 8, 40, 12
+    x, off, m = _make(rng, 1, H, W, G, Gc, 9, off_range=3.0)
+    args = (3, 3, 1, 1, 1, 1, 1, 1, G, Gc, 1.0)
+    ref = dcnv3(x, off, m, *args)
+    out = dcnv3_pallas(x, off, m, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def l_ref(x, off, m):
+        return jnp.sum(jnp.sin(dcnv3(x, off, m, *args)))
+
+    def l_ker(x, off, m):
+        return jnp.sum(jnp.sin(dcnv3_pallas(x, off, m, *args, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1, 2))(x, off, m)
+    gk = jax.grad(l_ker, argnums=(0, 1, 2))(x, off, m)
+    for a, b, name in zip(gr, gk, ["dx", "doffset", "dmask"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
+
+
 def test_point_sample_matches_oracle(rng):
     """Points-in-lanes kernel vs grid_sample(C=1): values, out-of-range
     coords, and gradients (img + coords)."""
