@@ -68,7 +68,13 @@ def i2t_update_xla(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
     keys (B,N,C) fp32; tok_k/tok_v (B,NT,Ci) padded token K/V; mask_bias
     (NT,) additive logit bias (-inf on pad slots).  Returns
     (keys2 (B,N,C) fp32, k_next (B,N,Ci) dtype, v_next (B,N,Ci) dtype).
+
+    keys may have batch 1 with tok batch B > 1 (layer 0 of a no-mask-prompt
+    decode, where the image side is identical across prompts): the shared
+    keys broadcast across the token batch.
     """
+    if keys.shape[0] == 1 and tok_k.shape[0] > 1:
+        keys = jnp.broadcast_to(keys, (tok_k.shape[0],) + keys.shape[1:])
     B, N, C = keys.shape
     Ci = Wq.shape[1]
     hd = Ci // num_heads
@@ -197,7 +203,14 @@ def _t2i_kv_pallas(keys, key_pe, Wk, bk, Wv, bv, dtype, interpret=False):
 def _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
                 g4, b4, Wk_n, bk_n, Wv_n, bv_n, num_heads, dtype, eps,
                 out_dtype=jnp.float32, interpret=False):
-    B, N, C = keys.shape
+    # shared-keys mode (keys batch 1, tok batch B): the (1,N,C) image stream
+    # is read ONCE per row block — the grid flips to (rows, B) with the token
+    # batch INNERMOST so the keys/pe block index is unchanged across the
+    # inner sweep (Pallas skips the re-fetch), trading the (B,N,C) fp32
+    # keys re-reads (~268 MB at bucket 64) for per-step re-fetches of the
+    # tiny (Ci,128)/(128,136) token operands
+    shared = keys.shape[0] == 1 and tok_k.shape[0] > 1
+    B, N, C = (tok_k.shape[0], keys.shape[1], keys.shape[2])
     Ci = Wq.shape[1]
     nH = num_heads
     hd = Ci // nH
@@ -228,17 +241,48 @@ def _i2t_pallas(keys, key_pe, tok_k, tok_v, mask_bias, Wq, bq, Wout, bout,
     e8 = hmj
     kernel = functools.partial(_i2t_kernel, num_heads=num_heads, nts=nts,
                                dtype=dtype, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(B, N // T),
-        in_specs=[
+    if shared:
+        grid = (N // T, B)  # token batch innermost: keys/pe fetched once/row
+        keys_spec = pl.BlockSpec((1, T, C), lambda i, b: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        pe_spec = pl.BlockSpec((T, C), lambda i, b: (i, 0),
+                               memory_space=pltpu.VMEM)
+
+        def bc(*shape):
+            return pl.BlockSpec(shape, lambda i, b: (b,) + (0,) * (len(shape) - 1),
+                                memory_space=pltpu.VMEM)
+
+        def cst(*shape):
+            return pl.BlockSpec(shape, lambda i, b: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        out_spec = pl.BlockSpec((1, T, C), lambda i, b: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec_i = pl.BlockSpec((1, T, Ci), lambda i, b: (b, i, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            keys_spec, pe_spec,
+            bc(1, Ci, nH * nts), bc(1, nH * nts, Ci + nH),
+            cst(1, nH * nts), cst(nH, Ci),
+            cst(C, Ci), cst(Ci), cst(Ci, C), cst(C), cst(C), cst(C),
+            cst(C, Ci), cst(Ci), cst(C, Ci), cst(Ci),
+        ]
+        out_specs = [out_spec, out_spec_i, out_spec_i]
+    else:
+        grid = (B, N // T)
+        in_specs = [
             _rows(T, C), _pe_rows(T, C),
             _b_cst(1, Ci, nH * nts), _b_cst(1, nH * nts, Ci + nH),
             _cst(1, nH * nts), _cst(nH, Ci),
             _cst(C, Ci), _cst(Ci), _cst(Ci, C), _cst(C), _cst(C), _cst(C),
             _cst(C, Ci), _cst(Ci), _cst(C, Ci), _cst(Ci),
-        ],
-        out_specs=[_rows(T, C), _rows(T, Ci), _rows(T, Ci)],
+        ]
+        out_specs = [_rows(T, C), _rows(T, Ci), _rows(T, Ci)]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((B, N, C), out_dtype),
             jax.ShapeDtypeStruct((B, N, Ci), dtype),

@@ -77,8 +77,14 @@ class MaskDecoder(nn.Module):
         sparse_prompt_embeddings: jnp.ndarray,  # (B, N, C)
         dense_prompt_embeddings: jnp.ndarray,  # (B, H, W, C)
         multimask_output: bool = False,
+        src_uniform: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (masks (B, M, 4H, 4W), iou_pred (B, M))."""
+        """Returns (masks (B, M, 4H, 4W), iou_pred (B, M)).
+
+        src_uniform=True (static) asserts the per-prompt image side is
+        identical across the prompt batch (one image, dense embeddings all
+        the no-mask embedding — i.e. box/point prompts): the transformer
+        then keeps layer 0's image stream at batch 1 (value-identical)."""
         # reference slices AFTER computing all tokens (:102-107); each token's
         # hypernetwork MLP + mask dot is independent, so computing only the
         # requested tokens is value-identical and skips 3/4 of the upscale dot
@@ -87,7 +93,7 @@ class MaskDecoder(nn.Module):
         )
         masks, iou_pred = self.predict_masks(
             image_embeddings, image_pe, sparse_prompt_embeddings,
-            dense_prompt_embeddings, token_idx=idx,
+            dense_prompt_embeddings, token_idx=idx, src_uniform=src_uniform,
         )
         sl = slice(1, None) if multimask_output else slice(0, 1)
         return masks, iou_pred[:, sl]
@@ -99,6 +105,7 @@ class MaskDecoder(nn.Module):
         sparse_prompt_embeddings: jnp.ndarray,
         dense_prompt_embeddings: jnp.ndarray,
         token_idx: Optional[Tuple[int, ...]] = None,
+        src_uniform: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (masks (B, len(token_idx), 4H, 4W), iou_pred (B, M_all)).
 
@@ -112,8 +119,15 @@ class MaskDecoder(nn.Module):
         tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
 
         # broadcast image embedding across the prompt batch (:136-138 used
-        # repeat_interleave; a broadcast + add is fusion-friendly on TPU)
-        src = image_embeddings + dense_prompt_embeddings
+        # repeat_interleave; a broadcast + add is fusion-friendly on TPU).
+        # With src_uniform (box/point prompts, one image) every row of that
+        # broadcast is identical — keep it at batch 1; the transformer
+        # broadcasts lazily (or, fused, shares layer 0's image stream)
+        if (src_uniform and image_embeddings.shape[0] == 1 and B > 1
+                and not self.is_initializing()):
+            src = image_embeddings + dense_prompt_embeddings[:1]
+        else:
+            src = image_embeddings + dense_prompt_embeddings
         h, w, c = src.shape[-3:]
 
         hs, src = self.transformer(src, image_pe, tokens)

@@ -128,6 +128,7 @@ class Sam(nn.Module):
         sparse: jnp.ndarray,
         dense: jnp.ndarray,
         multimask_output: bool = False,
+        src_uniform: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.mask_decoder(
             image_embeddings,
@@ -135,6 +136,7 @@ class Sam(nn.Module):
             sparse,
             dense,
             multimask_output=multimask_output,
+            src_uniform=src_uniform,
         )
 
     def predict(
@@ -147,7 +149,12 @@ class Sam(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Cached-embedding decode: prompts -> (low-res mask logits, iou)."""
         sparse, dense = self.prompt_encoder(points=points, labels=labels, masks=mask_inputs)
-        return self.decode_masks(image_embeddings, sparse, dense, multimask_output)
+        # without a mask prompt, dense is the no-mask embedding broadcast —
+        # the per-prompt image side is uniform and layer 0 of the decode can
+        # run its image stream at batch 1 (guarded on shapes downstream)
+        return self.decode_masks(image_embeddings, sparse, dense,
+                                 multimask_output,
+                                 src_uniform=mask_inputs is None)
 
     def __call__(
         self,

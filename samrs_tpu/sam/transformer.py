@@ -234,6 +234,16 @@ def _expanded_head_attn(q, k_img, v_img, num_heads):
     hmj = jnp.asarray(hm, k_img.dtype)
     qexp = ((q * scale)[:, :, None, :] * hmj[None, None]).reshape(
         B, Nt * num_heads, Ci).astype(k_img.dtype)
+    if k_img.shape[0] == 1 and B > 1:
+        # shared image side (layer 0 of a no-mask-prompt decode): k/v are
+        # read once at batch 1 instead of B broadcast copies
+        s = jnp.einsum("bqc,kc->bqk", qexp, k_img[0],
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s, axis=-1)
+        o2 = jnp.einsum("bqk,kc->bqc", a.astype(v_img.dtype), v_img[0],
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("bthc,hc->btc", o2.reshape(B, Nt, num_heads, Ci),
+                          hmj.astype(jnp.float32))
     s = jnp.einsum("bqc,bkc->bqk", qexp, k_img,
                    preferred_element_type=jnp.float32)
     a = jax.nn.softmax(s, axis=-1)
@@ -290,8 +300,8 @@ class TwoWayTransformer(nn.Module):
         from samrs_tpu.kernels.fused_twoway import NT
 
         b, h, w, c = image_embedding.shape
+        bt = point_embedding.shape[0]
         keys = image_embedding.reshape(b, h * w, c)
-        key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, c), keys.shape)
         queries = point_embedding
 
         use_fused = (
@@ -301,8 +311,15 @@ class TwoWayTransformer(nn.Module):
             and point_embedding.shape[1] <= NT
         )
         if use_fused:
+            # keys may arrive at batch 1 with bt > 1 prompts (uniform src:
+            # no-mask-prompt decode) — the fused path keeps layer 0's image
+            # side shared and only materializes per-prompt streams after the
+            # first image->token update
             return self._fused(keys, image_pe.reshape(-1, h * w, c)[0],
                                point_embedding)
+        if b == 1 and bt > 1:
+            keys = jnp.broadcast_to(keys, (bt, h * w, c))
+        key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, c), keys.shape)
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
@@ -331,7 +348,11 @@ class TwoWayTransformer(nn.Module):
 
     def _fused(self, keys, key_pe, point_embedding):
         """Image-side-fused decode (see class docstring).  keys (B, N, C)
-        fp32, key_pe (N, C), point_embedding (B, Nt, C)."""
+        fp32 — or (1, N, C) with B prompts when the initial image side is
+        prompt-uniform (boxes/points, no mask input): layer 0's kv
+        projection then runs at batch 1 and the i2t kernel reads the shared
+        keys block once per row (value-identical; saves ~0.5 GB of HBM
+        traffic at bucket 64).  key_pe (N, C), point_embedding (B, Nt, C)."""
         from samrs_tpu.kernels.fused_twoway import NT, i2t_update, t2i_kv_proj
 
         C = self.embedding_dim

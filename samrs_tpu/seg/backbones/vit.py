@@ -54,6 +54,9 @@ class ViTSeg(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     use_abs_pos_emb: bool = True
+    use_checkpoint: bool = False  # per-block remat (reference
+    # torch.utils.checkpoint in ViT_Win_RVSA; backward recomputes one block
+    # at a time — whole-encoder remat saves almost no peak memory)
     dtype: Dtype = jnp.float32
 
     @property
@@ -79,21 +82,32 @@ class ViTSeg(nn.Module):
                 pos2d = jax.image.resize(pos2d, (1, Hp, Wp, self.embed_dim), "bicubic")
             x = x + pos2d.astype(x.dtype)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        block_fn = (
+            nn.remat(ViTSeg._block, prevent_cse=False, static_argnums=(2, 3))
+            if self.use_checkpoint and not self.is_initializing()
+            else ViTSeg._block
+        )
         for i in range(self.depth):
-            y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm1")(x)
-            y = PlainAttention(
-                self.embed_dim, self.num_heads, dtype=self.dtype, name=f"blocks_{i}_attn"
-            )(y)
-            x = x + DropPath(float(dpr[i]), name=f"blocks_{i}_dp1")(y, not train)
-            y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm2")(x)
-            y = MLPBlock(int(self.embed_dim * self.mlp_ratio), dtype=self.dtype,
-                         name=f"blocks_{i}_mlp")(y)
-            x = x + DropPath(float(dpr[i]), name=f"blocks_{i}_dp2")(y, not train)
+            x = block_fn(self, x, i, not train)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         c1, c2, c3, c4 = ViTFPNNeck(self.embed_dim, dtype=self.dtype, name="neck")(
             [x, x, x, x]
         )
         return [img, c1, c2, c3, c4]
+
+    def _block(self, x: jnp.ndarray, i: int, deterministic: bool) -> jnp.ndarray:
+        """One pre-LN transformer block; submodule names match the inline
+        originals so the param tree is checkpoint/porter-identical."""
+        dpr = float(np.linspace(0, self.drop_path_rate, self.depth)[i])
+        y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm1")(x)
+        y = PlainAttention(
+            self.embed_dim, self.num_heads, dtype=self.dtype, name=f"blocks_{i}_attn"
+        )(y)
+        x = x + DropPath(dpr, name=f"blocks_{i}_dp1")(y, deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, name=f"blocks_{i}_norm2")(x)
+        y = MLPBlock(int(self.embed_dim * self.mlp_ratio), dtype=self.dtype,
+                     name=f"blocks_{i}_mlp")(y)
+        return x + DropPath(dpr, name=f"blocks_{i}_dp2")(y, deterministic)
 
 
 def vit_b(image_size: int = 224, dtype: Any = jnp.float32, **kw: Any) -> ViTSeg:

@@ -52,8 +52,18 @@ class MultiHeadSegModel(nn.Module):
     # ~30% step time for fitting large per-chip batches
     remat: bool = False
 
+    # backbones with PER-BLOCK remat (use_checkpoint): backward recomputes one
+    # block at a time, so peak memory is one block's internals + boundaries.
+    # A whole-encoder nn.remat wrap saves almost nothing: the recomputed
+    # forward re-materializes every block's activations before the backward
+    # consumes them in reverse (measured: rvsa@512 B=8 16.02G -> 16.01G).
+    _BLOCK_REMAT = ("vit_b_rvsa", "vit_l_rvsa", "vit_h_rvsa", "vit_b")
+
     def setup(self) -> None:
-        self.encoder = get_backbone(self.backbone, image_size=self.image_size, dtype=self.dtype)
+        self._block_remat = self.remat and self.backbone in self._BLOCK_REMAT
+        enc_kw = {"use_checkpoint": True} if self._block_remat else {}
+        self.encoder = get_backbone(self.backbone, image_size=self.image_size,
+                                    dtype=self.dtype, **enc_kw)
         self.seg_decoder = get_decoder(
             self.decoder, self.encoder.out_channels, dtype=self.dtype
         )
@@ -65,7 +75,8 @@ class MultiHeadSegModel(nn.Module):
         ]
 
     def forward_one(self, x: jnp.ndarray, head_idx: int, train: bool = False) -> jnp.ndarray:
-        if self.remat:
+        if self.remat and not self._block_remat:
+            # coarse fallback for backbones without use_checkpoint support
             feats = nn.remat(
                 lambda enc, xx: enc(xx, train=train), prevent_cse=False
             )(self.encoder, x)

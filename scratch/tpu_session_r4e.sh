@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 session E: prioritized rerun of the r4d list (r4d never executed).
+# Order = value per wall-clock minute:
+# 1. rvsa@512 remat B=8 (VERDICT r3 item 6 — the missing 512² number);
+# 2. m2f B=1 @1024 auto-slab (VERDICT <2.5 s/step target) then B=2 dense/slab A/B;
+# 3. internimage_t 224 dense vs slab (DCNv3 slab path);
+# 4. decode + encode profiler traces at current defaults (decode64 headroom);
+# 5. remaining 512² sweep rows; 6. fresh full bench headline.
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/r4logs
+run() { # run <tag> <timeout> <cmd...>
+  local tag=$1 to=$2; shift 2
+  echo "=== $tag $(date +%H:%M:%S) ==="
+  timeout "$to" "$@" > "/tmp/r4logs/$tag.log" 2>&1
+  echo "--- rc=$? $tag $(date +%H:%M:%S)"
+  grep -vE "^WARNING|^\[2m" "/tmp/r4logs/$tag.log" | tail -4
+}
+run rvsa512_remat_b8   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat
+if ! grep -q '"value"' /tmp/r4logs/rvsa512_remat_b8.log; then
+  run rvsa512_remat_b4 2400 python bench_train.py vit_b_rvsa upernet 4 512 remat
+fi
+run m2f_b1_slab        2400 python scratch/trace_m2f.py 1 1024 3
+run m2f_b2_dense       2400 env SAMRS_BILINEAR_SLAB=0 python scratch/trace_m2f.py 2 1024 3
+run m2f_b2_slab        2400 python scratch/trace_m2f.py 2 1024 3
+run ii224_dense        1800 env SAMRS_BILINEAR_SLAB=0 python bench_train.py internimage_t upernet 12 224
+run ii224_slab         1800 python bench_train.py internimage_t upernet 12 224
+run trace_decode       1800 python scratch/trace_decode_fused.py
+run trace_encode       2400 python scratch/trace_encode.py
+run swin512            2400 python bench_train.py swin_t upernet 8 512
+run vitb512            2400 python bench_train.py vit_b upernet 8 512
+run rvsa512_fusedmlp   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat fused_mlp
+run rvsa896_remat_b2   2400 python bench_train.py vit_b_rvsa upernet 2 896 remat
+run bench_full         5400 python bench.py
+echo "=== ALL DONE $(date +%H:%M:%S) ==="
