@@ -19,14 +19,14 @@ run rvsa512_remat_b8   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat
 if ! grep -q '"value"' /tmp/r4logs/rvsa512_remat_b8.log; then
   run rvsa512_remat_b4 2400 python bench_train.py vit_b_rvsa upernet 4 512 remat
 fi
+run ii224_slab         1800 python bench_train.py internimage_t upernet 12 224
+run ii224_dense        1800 env SAMRS_BILINEAR_SLAB=0 python bench_train.py internimage_t upernet 12 224
 run m2f_b1_dense       2400 env SAMRS_BILINEAR_SLAB=0 python scratch/trace_m2f.py 1 1024 3
 run m2f_b1_slab        2400 python scratch/trace_m2f.py 1 1024 3
-run ii224_dense        1800 env SAMRS_BILINEAR_SLAB=0 python bench_train.py internimage_t upernet 12 224
-run ii224_slab         1800 python bench_train.py internimage_t upernet 12 224
 run swin512            2400 python bench_train.py swin_t upernet 8 512
 run vitb512            2400 python bench_train.py vit_b upernet 8 512 remat
-run rvsa512_fusedmlp   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat fused_mlp
 run rvsa896_remat_b2   2400 python bench_train.py vit_b_rvsa upernet 2 896 remat
+run rvsa512_fusedmlp   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat fused_mlp
 run trace_decode       1800 python scratch/trace_decode_fused.py
 run bench_full         5400 python bench.py
 echo "=== ALL DONE $(date +%H:%M:%S) ==="
