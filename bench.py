@@ -201,11 +201,18 @@ def amg_main(variant: str = "vit_h", points_per_side: int = 32, iters: int = 3) 
     }))
 
 
-def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int = 64) -> None:
+def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int = 64,
+               tail: bool = False) -> None:
     """Fleet driver throughput on synthetic DIOR-style data: images + XML
     annotations on disk -> shared-queue device workers -> PNG/pkl writers.
     Measures the full host-IO-overlapped pipeline (BASELINE.md's <2h/105k
-    north-star path), including the utilization balance stats."""
+    north-star path), including the utilization balance stats.
+
+    tail=True draws per-image box counts from a DOTA-style long-tail
+    distribution (median ~27, mean ~55, forced 1500-box tail image — DOTA
+    tiles carry 1-2k instances at the extreme) instead of a uniform
+    boxes_per_image, so the bucketed decode (1..4096 boxes) and the
+    packed-mask fetch tail are exercised end to end (VERDICT r4 item 4)."""
     import os
     import tempfile
 
@@ -233,12 +240,18 @@ def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int 
         os.makedirs(ann_dir)
         size = 1024
         base = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        if tail:
+            counts = np.minimum(
+                rng.lognormal(3.3, 1.2, n_images).astype(int) + 1, 2000)
+            counts[0] = 1500  # deterministic DOTA-extreme tail image
+        else:
+            counts = np.full(n_images, boxes_per_image)
         for i in range(n_images):
             Image.fromarray(np.roll(base, i, axis=0)).save(
                 os.path.join(img_dir, f"b{i:03d}.png")
             )
             objs = []
-            for _ in range(boxes_per_image):
+            for _ in range(int(counts[i])):
                 x0 = int(rng.integers(0, size - 80)); y0 = int(rng.integers(0, size - 80))
                 w = int(rng.integers(20, 80)); h = int(rng.integers(20, 80))
                 objs.append(
@@ -264,11 +277,15 @@ def fleet_main(variant: str = "vit_b", n_images: int = 24, boxes_per_image: int 
         run_fleet(gcfg2, model_and_variables=(model, variables), stats=stats)
         dt = time.perf_counter() - t0
     rate = n_images / dt
+    box_desc = (f"DOTA-tail boxes/img (median {int(np.median(counts))}, "
+                f"max {int(counts.max())}, total {int(counts.sum())})"
+                if tail else f"{boxes_per_image} boxes/img")
     print(json.dumps({
-        "metric": f"fleet generation images/sec ({variant}, {boxes_per_image}"
-                  f" boxes/img, {len(jax.devices())} device(s))",
+        "metric": f"fleet generation images/sec ({variant}, {box_desc}, "
+                  f"{len(jax.devices())} device(s))",
         "value": round(rate, 3),
         "unit": "img/s",
+        "boxes_per_sec": round(float(counts.sum()) / dt, 2),
         "balance": round(stats.get("balance", 1.0), 3),
         "host_io_overlap": round(stats.get("overlap", 0.0), 3),
         "projected_hours_105k": round(105090 / max(rate, 1e-9) / 3600, 2),
@@ -402,41 +419,53 @@ def _orchestrate() -> int:
         tail = (proc.stderr or proc.stdout).strip().splitlines()
         return None, f"rc={proc.returncode} {(tail[-1] if tail else '')[:300]}"
 
+    # one global wall-clock deadline for EVERYTHING (headline attempts AND
+    # extras): worst case stays under ~48 min, below any plausible outer
+    # driver bound.  Round 4's bench produced nothing (rc=124) because the
+    # headline JSON was only printed after up to 3600 s of extras; now the
+    # headline line is printed+flushed the moment it exists, extras run on
+    # whatever budget remains, and a combined line is re-emitted last (a
+    # parser taking the final JSON line gets the combined record; one that
+    # sees a truncated stream still has the headline).
+    deadline = time.monotonic() + 2900
+
+    def _left(margin=60):
+        return deadline - time.monotonic() - margin
+
     attempts = [
-        ("vit_h", ["--run", "vit_h", "4", "8"], 2700),
-        ("vit_b-fast", ["--run", "vit_b", "1", "8"], 1500),
+        ("vit_h", ["--run", "vit_h", "4", "8"], 2400),
+        ("vit_b-fast", ["--run", "vit_b", "1", "8"], 1200),
     ]
     errors = []
     for name, args, tmo in attempts:
-        headline, err = _run_child(args, tmo)
+        if _left(30) < 120:
+            errors.append(f"{name}: skipped, global deadline")
+            continue
+        headline, err = _run_child(args, int(min(tmo, _left(30))))
         if headline is not None:
-            # secondary driver-captured metrics (VERDICT r3 item 7): AMG and
-            # fleet throughput, bounded so a slow remote compile can only
-            # drop a secondary metric, never the headline
+            print(json.dumps(headline), flush=True)
+            # secondary driver-captured metrics (VERDICT r3 item 7 / r4 item
+            # 1): AMG and fleet throughput on the remaining budget; a slow
+            # remote-compile day degrades a metric to a smaller labeled
+            # config (or a labeled skip), never the headline
             extra = {}
-            # one shared wall-clock budget for ALL extras: the headline JSON
-            # is only printed after this loop, so extras must never be able
-            # to starve it past any outer driver bound
-            extras_deadline = time.monotonic() + 3600
             for key, tries in (
-                # (args, timeout) fallbacks: a slow remote-compile day (e.g.
-                # 2026-08-19: amg@32^2 blew a 1500 s budget) degrades the
-                # metric to a smaller labeled config instead of an error
                 ("amg", ((["--amg", "vit_b", "32"], 2400),
-                         (["--amg", "vit_b", "16"], 1500))),
+                         (["--amg", "vit_b", "16"], 1200))),
                 ("fleet", ((["--fleet", "vit_b"], 2400),)),
+                # realistic DOTA-tail box distribution (VERDICT r4 item 4)
+                ("fleet_tail", ((["--fleet", "vit_b", "--tail"], 2400),)),
             ):
                 sub, serr = None, "skipped: extras budget exhausted"
                 for margs, mtmo in tries:
-                    left = extras_deadline - time.monotonic()
-                    if left < 300:
+                    if _left() < 240:
                         break
-                    sub, serr = _run_child(margs, min(mtmo, int(left)))
+                    sub, serr = _run_child(margs, int(min(mtmo, _left())))
                     if sub is not None:
                         break
                 extra[key] = sub if sub is not None else {"error": serr}
             headline["extra_metrics"] = extra
-            print(json.dumps(headline))
+            print(json.dumps(headline), flush=True)
             return 0
         errors.append(f"{name}: {err}")
         time.sleep(20)
@@ -460,7 +489,7 @@ if __name__ == "__main__":
         amg_main(sys.argv[2] if len(sys.argv) > 2 else "vit_h",
                  int(sys.argv[3]) if len(sys.argv) > 3 else 32)
     elif len(sys.argv) > 1 and sys.argv[1] == "--fleet":
-        fleet_main(*sys.argv[2:3])
+        fleet_main(*sys.argv[2:3], tail="--tail" in sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--fast":
         main("vit_b", batch=1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--run":

@@ -467,20 +467,21 @@ def _make_sampler(Gc: int, interpret: bool, slab: int = 0):
 
 
 def _auto_slab(H: int) -> int:
-    """Row-slab height for the skip kernels: 0 (dense) for small maps.
+    """Row-slab height for the skip kernels: default 0 (dense) everywhere.
 
-    ``SAMRS_BILINEAR_SLAB=0`` forces the dense kernels (A/B escape hatch);
-    any other integer value forces that slab height where it divides H."""
+    Measured end-to-end (v5e, 2026-08-20 r4f sweep): slab predication LOSES
+    in both training regimes it was built for — internimage_t+upernet B=12
+    @224 42.06 vs 60.94 img/s dense, and Mask2Former B=1x3 @1024 4210 vs
+    2948 ms/step dense — the per-slab branch overhead and smaller hat
+    matmuls cost more than the skipped rows save.  Dense is the default;
+    ``SAMRS_BILINEAR_SLAB=<h>`` forces slab height h (A/B escape hatch,
+    used where it divides H), ``=0`` forces dense explicitly."""
     import os
 
     env = os.environ.get("SAMRS_BILINEAR_SLAB")
     if env is not None:
         s = int(env)
         return s if s > 0 and H % s == 0 else 0
-    if H >= 32 and H % 16 == 0:
-        return 16
-    if H >= 32 and H % 8 == 0:
-        return 8
     return 0
 
 
