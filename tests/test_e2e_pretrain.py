@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
 from PIL import Image
 
 from samrs_tpu.core.config import DataConfig, OptimConfig, PretrainConfig

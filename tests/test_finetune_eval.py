@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
 from PIL import Image
 
 from samrs_tpu.core.config import DataConfig, FinetuneConfig, OptimConfig

@@ -6,6 +6,8 @@ import pickle
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
 from PIL import Image
 
 from samrs_tpu.core.config import GenerateConfig

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
+
 from samrs_tpu.seg.decoders.mask2former import (
     Mask2FormerDecoder,
     hungarian_match,

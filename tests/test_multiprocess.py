@@ -24,6 +24,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
 from PIL import Image
 
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))

@@ -11,6 +11,8 @@ model — unlike a self-generated golden, which only catches refactor drift.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e; excluded from the default fast gate
 import jax
 import jax.numpy as jnp
 
