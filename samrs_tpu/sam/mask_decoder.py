@@ -110,7 +110,12 @@ class MaskDecoder(nn.Module):
         """Returns (masks (B, len(token_idx), 4H, 4W), iou_pred (B, M_all)).
 
         token_idx=None computes every mask token.  At init all hypernetwork
-        MLPs run regardless so the full parameter tree materializes."""
+        MLPs run regardless so the full parameter tree materializes.
+
+        src_uniform=True is an unchecked caller contract (see
+        Sam.decode_masks): all B dense rows must be identical (no per-prompt
+        mask inputs) — the decoder then uses dense_prompt_embeddings[:1] for
+        every prompt."""
         B = sparse_prompt_embeddings.shape[0]
         output_tokens = jnp.concatenate([self.iou_token, self.mask_tokens], axis=0)
         output_tokens = jnp.broadcast_to(

@@ -130,6 +130,16 @@ class Sam(nn.Module):
         multimask_output: bool = False,
         src_uniform: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Decode prompt embeddings against cached image embeddings.
+
+        src_uniform=True is a CALLER CONTRACT, not checked at runtime (the
+        rows live on device inside jit): it asserts every prompt shares one
+        image AND one dense (mask) embedding row, so the decoder may run its
+        layer-0 image stream at batch 1 using dense[:1].  Only set it when
+        there is no per-prompt mask input (`Sam.predict` sets it exactly when
+        `mask_inputs is None`); passing distinct dense rows with
+        src_uniform=True silently decodes every prompt against dense[0].
+        """
         return self.mask_decoder(
             image_embeddings,
             self.prompt_encoder.get_dense_pe(),

@@ -52,18 +52,35 @@ class MultiHeadSegModel(nn.Module):
     # ~30% step time for fitting large per-chip batches
     remat: bool = False
 
-    # backbones with PER-BLOCK remat (use_checkpoint): backward recomputes one
-    # block at a time, so peak memory is one block's internals + boundaries.
-    # A whole-encoder nn.remat wrap saves almost nothing: the recomputed
-    # forward re-materializes every block's activations before the backward
-    # consumes them in reverse (measured: rvsa@512 B=8 16.02G -> 16.01G).
-    _BLOCK_REMAT = ("vit_b_rvsa", "vit_l_rvsa", "vit_h_rvsa", "vit_b")
-
     def setup(self) -> None:
-        self._block_remat = self.remat and self.backbone in self._BLOCK_REMAT
-        enc_kw = {"use_checkpoint": True} if self._block_remat else {}
-        self.encoder = get_backbone(self.backbone, image_size=self.image_size,
-                                    dtype=self.dtype, **enc_kw)
+        # PER-BLOCK remat (use_checkpoint): backward recomputes one block at a
+        # time, so peak memory is one block's internals + boundaries.  A
+        # whole-encoder nn.remat wrap saves almost nothing: the recomputed
+        # forward re-materializes every block's activations before the
+        # backward consumes them in reverse (measured: rvsa@512 B=8
+        # 16.02G -> 16.01G).  Probe by constructing with use_checkpoint=True
+        # (flax modules are dataclasses — an unsupported field raises
+        # TypeError) so new ViT-family backbones get it without editing an
+        # allowlist; others fall back to the coarse wrap with a warning.
+        self._block_remat = False
+        if self.remat:
+            try:
+                self.encoder = get_backbone(
+                    self.backbone, image_size=self.image_size,
+                    dtype=self.dtype, use_checkpoint=True,
+                )
+                self._block_remat = True
+            except TypeError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "backbone %r has no use_checkpoint field; remat=True falls "
+                    "back to a whole-encoder remat wrap (measured to save "
+                    "almost no memory — prefer a smaller batch)", self.backbone,
+                )
+        if not self._block_remat:
+            self.encoder = get_backbone(self.backbone, image_size=self.image_size,
+                                        dtype=self.dtype)
         self.seg_decoder = get_decoder(
             self.decoder, self.encoder.out_channels, dtype=self.dtype
         )

@@ -223,6 +223,20 @@ def run_gate(
         "iou_bar": IOU_BAR,
         "configs": configs,
         "reference_compared": ref_sam is not None,
+        # the gate must watch the config users actually get (VERDICT r4 item
+        # 7): record the kernel impls in effect.  On non-TPU backends the
+        # fused Pallas paths fall back to their exact XLA compositions, so
+        # only backend='tpu' rows exercise the shipping kernels.
+        "backend": jax.default_backend(),
+        "impls": {
+            "window_attn_impl": cfg.window_attn_impl,
+            "global_attn_impl": cfg.global_attn_impl,
+            "twoway_impl": cfg.twoway_impl,
+            "upscale_impl": cfg.upscale_impl,
+            "tail_impl": cfg.tail_impl,
+            "use_flash_attention": cfg.use_flash_attention,
+            "compute_dtype": str(cfg.compute_dtype),
+        },
     }
     if all_ious:
         result["iou_min"] = float(np.min(all_ious))
