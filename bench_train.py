@@ -87,13 +87,18 @@ def main(backbone: str = "vit_b_rvsa", decoder: str = "upernet",
 if __name__ == "__main__":
     # bench_train.py [backbone] [decoder] [batch] [image_size] [flags...]
     # flags: remat, fused_mlp (set_default_mlp_impl("fused") for backbones
-    # that default to the XLA MLP at small maps)
+    # that default to the XLA MLP at small maps), flash_attn (Pallas flash
+    # forward + XLA backward in the seg backbones' full-attention blocks)
     a = sys.argv[1:]
     flags = set(a[4:])
     if "fused_mlp" in flags:
         from samrs_tpu.nn import layers
 
         layers.set_default_mlp_impl("fused")
+    if "flash_attn" in flags:
+        from samrs_tpu.nn import layers
+
+        layers.set_default_attn_impl("flash")
     main(
         backbone=a[0] if len(a) > 0 else "vit_b_rvsa",
         decoder=a[1] if len(a) > 1 else "upernet",

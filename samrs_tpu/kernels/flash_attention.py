@@ -579,3 +579,93 @@ def flash_attention_relpos(
         and N % TQ == 0
     ) or (interpret and not force_xla)
     return _attention_relpos(q, k, v, rel_h, rel_w, scale, use_pallas, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Plain (no rel-pos) flash attention for the seg-backbone TRAINING path
+# (ED/backbone/vit.py:184-388 full attention).  Forward = the same
+# one-pass VMEM-resident kernel (softmax never hits HBM); backward = XLA
+# composition vjp of the oracle — free remat, matching the fused-MLP design.
+# ---------------------------------------------------------------------------
+
+
+def attention_plain_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        scale: float) -> jnp.ndarray:
+    """Pure-XLA oracle. q, k, v: (B, N, d) -> (B, N, d) fp32."""
+    s = jnp.einsum("bqd,bkd->bqk", q * scale, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+
+
+def plain_q_tile(n: int, cap: int = TQ) -> int:
+    """Largest %8 divisor of n that is <= cap (0 if none — caller falls back
+    to XLA).  512px ViT maps (N=1024) tile at 128; 896px (N=3136) at 112;
+    224px (N=196) has no %8 divisor and stays on XLA."""
+    for t in range(min(cap, n), 7, -1):
+        if t % 8 == 0 and n % t == 0:
+            return t
+    return 0
+
+
+def _plain_fwd_pallas(q, k, v, scale, interpret=False):
+    B, N, d = q.shape
+    tq = plain_q_tile(N)
+    cdt = v.dtype if v.dtype == jnp.bfloat16 else jnp.float32
+    qp = (q * scale).astype(cdt)
+    v_aug = jnp.concatenate([v.astype(cdt), jnp.ones((B, N, 1), cdt)], axis=-1)
+    return pl.pallas_call(
+        _flash_kernel,
+        grid=(B, N // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, d + 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * N * 2 * d, bytes_accessed=4 * B * N * d * 2,
+            transcendentals=B * N * N,
+        ),
+        interpret=interpret,
+    )(qp, k.astype(cdt), v_aug)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_plain(q, k, v, scale, use_pallas, interpret):
+    if use_pallas:
+        return _plain_fwd_pallas(q, k, v, scale, interpret)
+    return attention_plain_xla(q, k, v, scale)
+
+
+def _plain_fwd(q, k, v, scale, use_pallas, interpret):
+    return _attention_plain(q, k, v, scale, use_pallas, interpret), (q, k, v)
+
+
+def _plain_bwd(scale, use_pallas, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda *a: attention_plain_xla(*a, scale), q, k, v)
+    return vjp(g)
+
+
+_attention_plain.defvjp(_plain_fwd, _plain_bwd)
+
+
+def flash_attention_plain(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    force_xla: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Plain softmax attention, Pallas flash forward + XLA backward.
+
+    q, k, v: (B, N, d); returns (B, N, d) fp32.  Falls back to the XLA
+    oracle off-TPU or when N has no %8 query tile."""
+    use_pallas = (
+        not force_xla and jax.default_backend() == "tpu" and plain_q_tile(q.shape[1]) > 0
+    ) or (interpret and not force_xla and plain_q_tile(q.shape[1]) > 0)
+    return _attention_plain(q, k, v, scale, use_pallas, interpret)

@@ -128,6 +128,20 @@ def set_default_mlp_impl(impl: str) -> None:
     MLP_IMPL_DEFAULT = impl
 
 
+# Same pattern for the seg backbones' full-attention blocks: 'flash' routes
+# PlainAttention through the one-pass Pallas forward (softmax never hits HBM;
+# backward stays the XLA composition = free remat).  Read at trace time.
+ATTN_IMPL_DEFAULT = "xla"
+
+
+def set_default_attn_impl(impl: str) -> None:
+    """Set the process default seg-backbone attention impl ('xla' | 'flash')."""
+    global ATTN_IMPL_DEFAULT
+    if impl not in ("xla", "flash"):
+        raise ValueError(f"impl must be 'xla' or 'flash', got {impl!r}")
+    ATTN_IMPL_DEFAULT = impl
+
+
 class MLPBlock(nn.Module):
     """lin -> act -> lin (common.py:13-28).
 

@@ -26,21 +26,38 @@ class PlainAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    impl: Any = None  # "xla" | "flash" | None (= layers.ATTN_IMPL_DEFAULT)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from samrs_tpu.nn import layers as _layers
+
         B, H, W, _ = x.shape
+        N = H * W
         hd = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum(
-            "bnqd,bnkd->bnqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bnqk,bnkd->bnqd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        impl = self.impl if self.impl is not None else _layers.ATTN_IMPL_DEFAULT
+        if impl == "flash" and not self.is_initializing():
+            # one-pass Pallas forward (softmax stays in VMEM), XLA backward
+            # (free remat); falls back to XLA off-TPU / tile-less N inside
+            from samrs_tpu.kernels.flash_attention import flash_attention_plain
+
+            bh = B * self.num_heads
+            out = flash_attention_plain(
+                q.reshape(bh, N, hd), k.reshape(bh, N, hd), v.reshape(bh, N, hd),
+                hd**-0.5,
+            ).reshape(B, self.num_heads, N, hd)
+        else:
+            attn = jnp.einsum(
+                "bnqd,bnkd->bnqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum(
+                "bnqk,bnkd->bnqd", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

@@ -193,3 +193,68 @@ def test_qkv_gradients_flow():
     g2 = jax.grad(lambda x: jnp.sum(attention_qkv_relpos_xla(
         x, Rh, Rw, (H, W), scale, nH) ** 2))(qkv_raw)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+def test_plain_flash_interpret_matches_oracle():
+    from samrs_tpu.kernels.flash_attention import (
+        attention_plain_xla,
+        flash_attention_plain,
+        plain_q_tile,
+    )
+
+    assert plain_q_tile(1024) == 128
+    assert plain_q_tile(3136) == 112
+    assert plain_q_tile(196) == 0  # 224px maps stay on XLA
+
+    rng = np.random.default_rng(3)
+    B, N, d = 3, 256, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, d)), jnp.float32)
+               for _ in range(3))
+    ref = attention_plain_xla(q, k, v, d**-0.5)
+    got = flash_attention_plain(q, k, v, d**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_plain_flash_gradients_flow():
+    from samrs_tpu.kernels.flash_attention import (
+        attention_plain_xla,
+        flash_attention_plain,
+    )
+
+    rng = np.random.default_rng(4)
+    B, N, d = 1, 128, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, d)), jnp.float32)
+               for _ in range(3))
+    g1 = jax.grad(lambda a, b, c: jnp.sum(
+        flash_attention_plain(a, b, c, d**-0.5, interpret=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b, c: jnp.sum(
+        attention_plain_xla(a, b, c, d**-0.5) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_backbone_flash_impl_matches_xla():
+    """PlainAttention(impl='flash') in interpret mode == the xla impl, so the
+    bench_train flash_attn flag changes only the schedule, not the math."""
+    from samrs_tpu.seg.backbones.vit import PlainAttention
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    mod_x = PlainAttention(32, 4, impl="xla")
+    v = mod_x.init(jax.random.PRNGKey(0), x)
+    ref = mod_x.apply(v, x)
+    # interpret-mode Pallas path: patch the default-backend gate via interpret
+    from samrs_tpu.kernels import flash_attention as fa
+
+    orig = fa.flash_attention_plain
+
+    def forced(q, k, vv, scale, force_xla=False, interpret=False):
+        return orig(q, k, vv, scale, force_xla=force_xla, interpret=True)
+
+    fa.flash_attention_plain = forced
+    try:
+        got = PlainAttention(32, 4, impl="flash").apply(v, x)
+    finally:
+        fa.flash_attention_plain = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
