@@ -227,13 +227,14 @@ def test_ms_deform_attn_row_slab_matches_oracle(rng, spread):
 def test_auto_slab_selection(monkeypatch):
     from samrs_tpu.kernels.bilinear_gather import _auto_slab
 
-    assert _auto_slab(128) == 16 and _auto_slab(64) == 16
-    assert _auto_slab(56) == 8   # internimage 224^2 stage
-    assert _auto_slab(16) == 0 and _auto_slab(14) == 0 and _auto_slab(33) == 0
+    # dense everywhere by default (slab predication measured negative in
+    # both target regimes, r4f sweep — see _auto_slab docstring)
+    assert _auto_slab(128) == 0 and _auto_slab(64) == 0
+    assert _auto_slab(56) == 0 and _auto_slab(16) == 0
     monkeypatch.setenv("SAMRS_BILINEAR_SLAB", "0")
     assert _auto_slab(128) == 0
     monkeypatch.setenv("SAMRS_BILINEAR_SLAB", "32")
-    assert _auto_slab(128) == 32 and _auto_slab(56) == 0
+    assert _auto_slab(128) == 32 and _auto_slab(56) == 0  # only where it divides H
 
 
 def test_dcnv3_row_slab_matches_oracle(rng):
