@@ -5,12 +5,14 @@ Behavioral reference: GD/segment_anything/automatic_mask_generator.py:35-372 —
   * `_process_crop` (:225-264): per-crop point grid, batched point predicts,
     within-crop NMS, uncrop
   * `_process_batch` (:266-322): multimask point decode, IoU / stability-score
-    filters, threshold, boxes, RLEs
+    filters, threshold, boxes, RLEs — here fused into `_process_points`
   * `postprocess_small_regions` (:324-372)
 
-TPU-first: each point batch decodes as one fixed-shape jitted call through the
-predictor's bucketed batch path (`points_per_batch` is the bucket), so the
-whole grid sweep reuses one executable per crop size.
+TPU-first: the crop's WHOLE point grid decodes as one async device sweep
+(`predictor.amg_sweep`: fixed-shape jitted chunks + on-device stacking), so
+each crop size compiles one chunk executable and costs two host fetches
+regardless of grid size; mask upscale/stats/bit-packing run in the fused
+Pallas kernel (kernels/amg_post.py) without materializing full-res logits.
 """
 
 from __future__ import annotations
@@ -138,11 +140,9 @@ class SamAutomaticMaskGenerator:
         points_scale = np.array(cropped_im_size)[None, ::-1]
         points_for_image = self.point_grids[crop_layer_idx] * points_scale
 
-        data = MaskData()
-        for i in range(0, len(points_for_image), self.points_per_batch):
-            batch = points_for_image[i : i + self.points_per_batch]
-            batch_data = self._process_batch(batch, cropped_im_size, crop_box, orig_size)
-            data.cat(batch_data)
+        data = self._process_points(
+            points_for_image, cropped_im_size, crop_box, orig_size
+        )
         self.predictor.reset_image()
 
         if len(data["boxes"]):
@@ -155,37 +155,42 @@ class SamAutomaticMaskGenerator:
         data["crop_boxes"] = [crop_box for _ in range(len(data["rles"]))]
         return data
 
-    def _process_batch(
+    def _process_points(
         self, points: np.ndarray, im_size, crop_box: List[int], orig_size
     ) -> MaskData:
+        """Decode + filter the crop's WHOLE point grid in one device sweep.
+
+        `predictor.amg_sweep` dispatches every `points_per_batch` chunk
+        asynchronously (one fixed-shape jit, so live memory matches the old
+        per-batch loop) and stacks results on device; exactly TWO things are
+        fetched per crop: one (N, nm, 7) fp32 stats record and the
+        survivors' bit-packed masks.  The per-batch loop this replaces made
+        ~5 D2H round trips per 64-point batch and recomputed stats from
+        HBM-materialized full-res fp32 masks (125 s/img at 32² points)."""
         orig_h, orig_w = orig_size
         pred = self.predictor
         n = len(points)
-        # one positive point per prompt set; bucket-padded batched decode
+        nb = self.points_per_batch
+        G = max(1, -(-n // nb))
+        # one positive point per prompt set; slot 1 is the not-a-point pad,
+        # grid rows beyond n are all-pad prompts sliced away after the fetch
         tp = pred.transform.apply_coords(points.astype(np.float32), im_size)
-        nb = max(self.points_per_batch, n)
-        pts = np.zeros((nb, 2, 2), np.float32)
-        labs = np.full((nb, 2), -1, np.int32)
+        pts = np.zeros((G * nb, 2, 2), np.float32)
+        labs = np.full((G * nb, 2), -1, np.int32)
         pts[:n, 0] = tp
-        labs[:n, 0] = 1  # positive point; slot 1 is the not-a-point pad
-        import jax.numpy as jnp
+        labs[:n, 0] = 1
 
-        # device-side batch post (predictor._amg_batch): decode + upscale +
-        # stability sums + boxes + THRESHOLDED BIT-PACKED masks.  Only O(n)
-        # scalars are fetched eagerly; mask bits leave the device packed and
-        # only for prompts that survive every filter (the all-host version
-        # fetched (n*3, H, W) fp32 logits — ~13 GB/image at 32² points).
-        iou_d, hi, lo, boxes_d, packed = pred._amg_batch(
-            pred.variables, pred.features, jnp.asarray(pts), jnp.asarray(labs),
-            tuple(pred.input_size), tuple(pred.original_size),
+        stats_d, packed = pred.amg_sweep(
+            pts.reshape(G, nb, 2, 2), labs.reshape(G, nb, 2),
             self.stability_score_offset,
         )
-        nm = iou_d.shape[1]  # masks per prompt (3 for multimask)
-        iou_preds = np.asarray(iou_d[:n]).reshape(-1)
-        hi = np.asarray(hi[:n]).reshape(-1).astype(np.int64)
-        lo = np.asarray(lo[:n]).reshape(-1).astype(np.int64)
+        nm = stats_d.shape[1]  # masks per prompt (3 for multimask)
+        stats = np.asarray(stats_d)[:n]  # ONE fetch
+        iou_preds = stats[..., 0].reshape(-1)
+        hi = stats[..., 1].reshape(-1).astype(np.int64)
+        lo = stats[..., 2].reshape(-1).astype(np.int64)
         stability = hi / np.maximum(lo, 1)
-        boxes = np.asarray(boxes_d[:n]).reshape(-1, 4).astype(np.int64)
+        boxes = stats[..., 3:7].reshape(-1, 4).astype(np.int64)
         pts_rep = np.repeat(points, nm, axis=0)
 
         keep = np.ones(n * nm, bool)
@@ -197,8 +202,7 @@ class SamAutomaticMaskGenerator:
 
         idx = np.nonzero(keep)[0]
         h, w = pred.original_size
-        packed_flat = packed.reshape(-1, *packed.shape[-2:])[: n * nm]
-        packed_kept = pred.amg_take_packed(packed_flat, idx)
+        packed_kept = pred.amg_take_packed(packed, idx)
         masks_kept = unpackbits2d(packed_kept, w)
         masks_kept = uncrop_masks(masks_kept, crop_box, orig_h, orig_w)
 

@@ -132,16 +132,39 @@ class SamPredictor:
         @functools.partial(
             jax.jit, static_argnames=("input_size", "original_size", "offset")
         )
-        def _amg_batch(variables, features, points, labels, input_size,
+        def _amg_chunk(variables, features, points, labels, input_size,
                        original_size, offset):
-            """Device-side AMG batch post: decode + upscale + stability sums +
+            """Device-side AMG chunk post: decode + upscale + stability sums +
             boxes + THRESHOLDED BIT-PACKED masks.  The first AMG design
             fetched the (nb, 3, H, W) fp32 logit masks to the host
             (~800 MB/batch at 1024² — 13 GB/image through the device
             transport); here only O(nb) scalars leave the device eagerly and
-            survivors' masks are fetched bit-packed (amg_take_packed)."""
+            survivors' masks are fetched bit-packed (amg_take_packed).
+            Returns (stats (nb, nm, 7) fp32 = [iou, hi, lo, x0, y0, x1, y1],
+            packed (nb, nm, H, ceil(W/8)) uint8); hi/lo/box values are exact
+            in fp32 (pixel counts < 2^24).
+
+            On TPU the whole post runs as ONE fused Pallas kernel
+            (kernels/amg_post.py): the XLA composition materializes the
+            (nb*nm, H, W) fp32 logit masks in HBM and re-reads them for
+            every stat (~4 GB of traffic per 64-prompt chunk at 1024² —
+            the measured 125 s/img AMG was HBM-bound here)."""
             low_res, iou = _decode(variables, features, points, labels, None,
                                    True)
+            if jax.default_backend() == "tpu":
+                from samrs_tpu.kernels.amg_post import amg_postprocess
+
+                nb, nm, g, _ = low_res.shape
+                hi, lo, boxes, packed = amg_postprocess(
+                    low_res.reshape(nb * nm, g, g), input_size, original_size,
+                    cfg.image_size, cfg.mask_threshold, offset,
+                )
+                stats = jnp.concatenate(
+                    [iou.reshape(nb * nm, 1), hi[:, None], lo[:, None],
+                     boxes.astype(jnp.float32)], axis=-1,
+                ).reshape(nb, nm, 7)
+                Ho, Wp = packed.shape[-2:]
+                return stats, packed.astype(jnp.uint8).reshape(nb, nm, Ho, Wp)
             masks = _postprocess(low_res, input_size, original_size, False)
             mt = cfg.mask_threshold
             hi = jnp.sum(masks > (mt + offset), axis=(-1, -2), dtype=jnp.int32)
@@ -157,12 +180,21 @@ class SamPredictor:
             # inclusive xyxy (batched_mask_to_box convention); zeros if empty
             boxes = jnp.stack([left, top, right, bot], -1).astype(jnp.int32)
             boxes = jnp.where(jnp.any(ys, -1)[..., None], boxes, 0)
-            return iou, hi, lo, boxes, packbits2d(mb)
+            stats = jnp.concatenate(
+                [
+                    iou[..., None],
+                    hi[..., None].astype(jnp.float32),
+                    lo[..., None].astype(jnp.float32),
+                    boxes.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            return stats, packbits2d(mb)
 
         self._encode = _encode
         self._decode = _decode
         self._postprocess = _postprocess
-        self._amg_batch = _amg_batch
+        self._amg_chunk = _amg_chunk
 
     # ------------------------------------------------------------------ image
 
@@ -413,6 +445,32 @@ class SamPredictor:
             fn = jax.jit(packbits2d)
             self._jit_cache[key] = fn
         return unpackbits2d(np.asarray(fn(masks)), masks.shape[-1])
+
+    def amg_sweep(self, pts: np.ndarray, labs: np.ndarray, offset: float):
+        """AMG grid sweep: dispatch every `points_per_batch` chunk of the
+        crop's point grid asynchronously, stack the per-chunk results on
+        DEVICE, and return (stats (G*nb, nm, 7) device fp32, packed
+        (G*nb*nm, H, ceil(W/8)) device uint8) for exactly one stats fetch +
+        one survivors gather per crop.
+
+        The chunk executable is a single fixed-shape jit (compiles once per
+        crop size, like the decode buckets); a whole-grid ``lax.map`` variant
+        measured >30 min in the remote-compile service vs ~2 min for the
+        chunk program, so the loop stays on the host — dispatch is async, so
+        device work still pipelines back-to-back.  pts: (G, nb, 2, 2) fp32;
+        labs: (G, nb, 2) int32."""
+        G = pts.shape[0]
+        chunks = [
+            self._amg_chunk(
+                self.variables, self.features, jnp.asarray(pts[g]),
+                jnp.asarray(labs[g]), tuple(self.input_size),
+                tuple(self.original_size), offset,
+            )
+            for g in range(G)
+        ]
+        stats = jnp.concatenate([c[0] for c in chunks])          # (G*nb, nm, 7)
+        packed = jnp.concatenate([c[1] for c in chunks])         # (G*nb, nm, H, Wp)
+        return stats, packed.reshape(-1, *packed.shape[-2:])
 
     def amg_take_packed(self, packed, idx: np.ndarray) -> np.ndarray:
         """Gather survivor rows of a device (N, H, Wp) packed-mask array by
