@@ -36,9 +36,8 @@ from samrs_tpu.data.writers import (
     save_instances_pkl,
     save_semantic_png,
 )
-from samrs_tpu.generate.painter import _update_cover
 from samrs_tpu.geometry.obb import poly_to_hbb
-from samrs_tpu.sam.predictor import SamPredictor
+from samrs_tpu.sam.predictor import SamPredictor, unpackbits2d
 
 
 CHUNK = 32  # masks upscaled to full resolution per device step
@@ -59,6 +58,59 @@ class SemanticGenerator:
         self.predictor = predictor
         self.class_names = list(class_names)
         self.chunk = chunk
+
+    def _chunk_fn(self):
+        """One jitted call per mask chunk: upscale+threshold+bit-pack+cover.
+
+        On TPU the upscale/threshold/pack run in the fused Pallas AMG-post
+        kernel (kernels/amg_post.py) — the XLA composition materialized the
+        (C, H, W) fp32 logit masks in HBM per chunk (~0.5 GB of traffic at
+        1024²) across three separate dispatches (upscale_chunk,
+        _update_cover, fetch_masks_packed); this folds them into one
+        dispatch whose full-res logits never leave VMEM.  The cover fold
+        reads device-unpacked bits (~35 MB) instead of the fp32 masks."""
+        pred = self.predictor
+        input_size, original_size = tuple(pred.input_size), tuple(pred.original_size)
+        key = ("semantic_chunk", self.chunk, input_size, original_size)
+        fn = pred._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        from samrs_tpu.sam.predictor import packbits2d
+        from samrs_tpu.sam.sam import postprocess_masks
+
+        cfg = pred.cfg
+        on_tpu = jax.default_backend() == "tpu"
+
+        @jax.jit
+        def fn(low, cover, c0, valid):
+            C = low.shape[0]
+            if on_tpu:
+                from samrs_tpu.kernels.amg_post import amg_postprocess
+
+                _, _, _, packed = amg_postprocess(
+                    low, input_size, original_size, cfg.image_size,
+                    cfg.mask_threshold, 1.0,
+                )
+                pu8 = packed.astype(jnp.uint8)
+                shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                bits = (pu8[:, :, :, None] >> shifts) & jnp.uint8(1)
+                masks = bits.reshape(C, pu8.shape[1], -1)[
+                    :, :, : original_size[1]].astype(bool)
+            else:
+                m = postprocess_masks(low[None], input_size, original_size,
+                                      cfg.image_size)[0]
+                masks = m > cfg.mask_threshold
+                pu8 = packbits2d(masks)
+            live = masks & (jnp.arange(C) < valid)[:, None, None]
+            idx = c0 + jnp.arange(C, dtype=jnp.int32)
+            chunk_best = jnp.max(
+                jnp.where(live, idx[:, None, None], jnp.int32(-1)), axis=0)
+            return jnp.maximum(cover, chunk_best), pu8
+
+        pred._jit_cache[key] = fn
+        return fn
 
     def process_image(
         self, image: np.ndarray, ann: Annotation, rotated: bool = False
@@ -97,14 +149,16 @@ class SemanticGenerator:
         chunk = min(self.chunk, nb)  # powers of two, so static slices align
         cover = jnp.full((h, w), -1, jnp.int32)
         records: List[dict] = []
+        chunk_fn = self._chunk_fn()
         for c0 in range(0, n, chunk):
-            masks = pred.upscale_chunk(low_res[c0 : c0 + chunk, 0], binarize=True)
             valid = min(chunk, n - c0)
-            cover = _update_cover(cover, masks, jnp.int32(c0), jnp.int32(valid))
-            # bit-packed D2H: 8x less transfer than fetching the bool masks
-            # (67 MB -> 8.4 MB per 64-mask chunk at 1024²; the fetch dominates
-            # the fleet driver on tunneled transports)
-            masks_h = pred.fetch_masks_packed(masks[:valid]).astype(np.uint8)
+            # one dispatch: fused upscale+threshold+bit-pack+cover fold (on
+            # TPU via kernels/amg_post.py — full-res fp32 logits never touch
+            # HBM); one bit-packed D2H per chunk (8x less transfer than bool
+            # masks: 67 MB -> 8.4 MB per 64-mask chunk at 1024²)
+            cover, pu8 = chunk_fn(low_res[c0 : c0 + chunk, 0], cover,
+                                  jnp.int32(c0), jnp.int32(valid))
+            masks_h = unpackbits2d(np.asarray(pu8[:valid]), w).astype(np.uint8)
             # native batch RLE (C, releases GIL); python fallback inside
             try:
                 from samrs_tpu.native.build import native_rle_encode_batch
