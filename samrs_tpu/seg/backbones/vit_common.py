@@ -42,6 +42,18 @@ class FullAttentionRelPos(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
+        from samrs_tpu.nn import layers as _layers
+
+        if (not self.use_rel_pos and _layers.ATTN_IMPL_DEFAULT == "flash"
+                and not self.is_initializing()):
+            # RVSA's full-attn layers define no rel-pos: the one-pass Pallas
+            # flash forward applies (XLA-composition backward = free remat)
+            from samrs_tpu.kernels.flash_attention import flash_attention_plain
+
+            out = flash_attention_plain(q, k, v, scale)
+            out = out.reshape(B, self.num_heads, H, W, hd).transpose(0, 2, 3, 1, 4)
+            out = out.reshape(B, H, W, self.dim).astype(self.dtype)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         attn = jnp.einsum("bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32)
         if self.use_rel_pos:
             rel_pos_h = self.param(

@@ -258,3 +258,32 @@ def test_vit_backbone_flash_impl_matches_xla():
     finally:
         fa.flash_attention_plain = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_rvsa_full_attn_flash_impl_matches_xla():
+    """FullAttentionRelPos(use_rel_pos=False) under the flash default ==
+    the einsum path (the RVSA full-attn layers in training)."""
+    from samrs_tpu.nn import layers as _layers
+    from samrs_tpu.seg.backbones.vit_common import FullAttentionRelPos
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    mod = FullAttentionRelPos(32, 4, use_rel_pos=False)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(v, x)
+
+    from samrs_tpu.kernels import flash_attention as fa
+
+    orig = fa.flash_attention_plain
+
+    def forced(q, k, vv, scale, force_xla=False, interpret=False):
+        return orig(q, k, vv, scale, force_xla=force_xla, interpret=True)
+
+    fa.flash_attention_plain = forced
+    _layers.set_default_attn_impl("flash")
+    try:
+        got = mod.apply(v, x)
+    finally:
+        fa.flash_attention_plain = orig
+        _layers.set_default_attn_impl("xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
