@@ -449,12 +449,17 @@ def _orchestrate() -> int:
             # remote-compile day degrades a metric to a smaller labeled
             # config (or a labeled skip), never the headline
             extra = {}
+            # 16^2 AMG first: it compiles the same chunk jit as 32^2 but is
+            # measured at ~0.2 s/img warm (CLAUDE.md r5), so a slow
+            # remote-compile period can't burn the whole extras budget the
+            # way the 32^2-first ordering did (r5 session: amg32 rc=124 at
+            # 2400 s with ~15 s of CPU — pure compile-service waiting)
             for key, tries in (
-                ("amg", ((["--amg", "vit_b", "32"], 2400),
-                         (["--amg", "vit_b", "16"], 1200))),
+                ("amg", ((["--amg", "vit_b", "16"], 1200),)),
                 ("fleet", ((["--fleet", "vit_b"], 2400),)),
                 # realistic DOTA-tail box distribution (VERDICT r4 item 4)
                 ("fleet_tail", ((["--fleet", "vit_b", "--tail"], 2400),)),
+                ("amg32", ((["--amg", "vit_b", "32"], 1800),)),
             ):
                 sub, serr = None, "skipped: extras budget exhausted"
                 for margs, mtmo in tries:
