@@ -26,6 +26,7 @@ levels*points) on top of the TPU gather op samrs_tpu.kernels.sampling.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,7 +35,8 @@ import numpy as np
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from samrs_tpu.kernels.bilinear_gather import ms_deform_attn_pallas
+from samrs_tpu.kernels.bilinear_gather import (ms_deform_attn_hybrid,
+                                               ms_deform_attn_pallas)
 from samrs_tpu.kernels.sampling import ms_deform_attn
 from samrs_tpu.nn.layers import ConvTranspose2x, DropPath, MLPBlock
 from samrs_tpu.seg.backbones.vit import PlainAttention
@@ -94,12 +96,22 @@ class MSDeformAttnModule(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / wh[None, None, None, :, None, :]
         )
-        if jax.default_backend() == "tpu":
+        impl = os.environ.get("SAMRS_MSDA_IMPL", "pallas")
+        if jax.default_backend() != "tpu" or impl == "xla":
+            out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
+        elif impl.startswith("hybrid"):
+            # per-level split: big maps (>= the row threshold) on XLA's
+            # gather lowering, small maps on the hat-matmul kernels — the
+            # kernels' O(H_l)-rows-per-sample matmuls stop paying at
+            # Mask2Former's 1024^2 stride-8 level (A/B escape hatch;
+            # SAMRS_MSDA_IMPL=hybrid[:rows])
+            rows = int(impl.split(":")[1]) if ":" in impl else 128
+            out = ms_deform_attn_hybrid(v, spatial_shapes, locations, weights,
+                                        min_rows_xla=rows)
+        else:
             # hat-matmul Pallas core (kernels/bilinear_gather.py); bf16 stays
             # bf16 on the MXU, fp32 accumulation
             out = ms_deform_attn_pallas(v, spatial_shapes, locations, weights)
-        else:
-            out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
         # Under nn.remat with policy=save_only_these_names("msda_sampled")
         # this pins the sampled output so the backward recompute DCEs the
         # expensive sampling kernels and re-runs only the cheap

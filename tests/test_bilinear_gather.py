@@ -12,6 +12,7 @@ import pytest
 from samrs_tpu.kernels.bilinear_gather import (
     dcnv3_pallas,
     grid_sample_pallas,
+    ms_deform_attn_hybrid,
     ms_deform_attn_pallas,
 )
 from samrs_tpu.kernels.sampling import dcnv3, grid_sample, ms_deform_attn
@@ -125,6 +126,30 @@ def test_ms_deform_attn_matches_oracle(rng):
     ref = ms_deform_attn(val, shapes, loc, w)
     out = ms_deform_attn_pallas(val, shapes, loc, w, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_ms_deform_attn_hybrid_matches_oracle(rng):
+    # threshold 6 puts the (6,7) level on the XLA-gather branch and the
+    # (3,4) level on the Pallas branch — both groups exercised
+    val, shapes, loc, w = _msda_inputs(rng)
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_hybrid(val, shapes, loc, w, min_rows_xla=6,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+    def l_ref(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn(v, shapes, l, ww)))
+
+    def l_hyb(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn_hybrid(
+            v, shapes, l, ww, min_rows_xla=6, interpret=True)))
+
+    gr = jax.grad(l_ref, argnums=(0, 1, 2))(val, loc, w)
+    gh = jax.grad(l_hyb, argnums=(0, 1, 2))(val, loc, w)
+    for a, b, name in zip(gr, gh, ["dvalue", "dloc", "dweights"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
 
 
 def test_ms_deform_attn_gradients_match_oracle(rng):
