@@ -307,8 +307,39 @@ def _e2(W: int, Gc: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sampler(Gc: int, interpret: bool, slab: int = 0):
+def _make_sampler(Gc: int, interpret: bool, slab: int = 0,
+                  fwd_gather: bool = False):
+    def fwd_gather_call(xg, fx, fy, mask):
+        """XLA-gather forward, O(1) work per sample: at large maps the hat
+        matmuls' O(H) row reduction stops paying (Mask2Former's 128x128
+        stride-8 level at 1024^2), while row gathers ride HBM bandwidth.
+        Paired with the transposed-hat Pallas backward (bwd_call below) so
+        the VJP never hits XLA's serialized scatter-add lowering."""
+        BG, H, WGc = xg.shape
+        _, P, K = fx.shape
+        W = WGc // Gc
+        img = xg.reshape(BG, H * W, Gc)
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = (fx - x0)[..., None]
+        wy = (fy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def g(yi, xi):
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            vals = jnp.take_along_axis(img, idx.reshape(BG, P * K, 1), axis=1)
+            return vals.reshape(BG, P, K, Gc) * valid[..., None]
+
+        top = g(y0i, x0i) * (1 - wx) + g(y0i, x0i + 1) * wx
+        bot = g(y0i + 1, x0i) * (1 - wx) + g(y0i + 1, x0i + 1) * wx
+        samp = top * (1 - wy) + bot * wy  # (BG, P, K, Gc)
+        return jnp.sum(samp.astype(jnp.float32) * mask[..., None], axis=2)
+
     def fwd_call(xg, fx, fy, mask):
+        if fwd_gather:
+            return fwd_gather_call(xg, fx, fy, mask)
         BG, H, WGc = xg.shape
         _, P, K = fx.shape
         W = WGc // Gc
@@ -487,7 +518,8 @@ def _auto_slab(H: int) -> int:
 
 def sample_weighted(xg: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
                     mask: jnp.ndarray, group_channels: int,
-                    interpret: bool = False, row_slab: int = 0) -> jnp.ndarray:
+                    interpret: bool = False, row_slab: int = 0,
+                    fwd_gather: bool = False) -> jnp.ndarray:
     """Weighted bilinear gather core (absolute pixel coords, zero padding).
 
     xg (BG, H, W*Gc) any float dtype; fx/fy/mask (BG, P, K) fp32.
@@ -501,7 +533,7 @@ def sample_weighted(xg: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     if row_slab > 0 and xg.shape[1] % row_slab != 0:
         row_slab = 0
     return _make_sampler(int(group_channels), bool(interpret),
-                         int(row_slab))(xg, fx, fy, mask)
+                         int(row_slab), bool(fwd_gather))(xg, fx, fy, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +823,7 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     interpret: bool = False,
     row_slab: Optional[int] = None,
+    fwd_gather: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention on the hat-matmul core.
 
@@ -822,7 +855,7 @@ def ms_deform_attn_pallas(
         slab = _auto_slab(h) if row_slab is None else row_slab
         out = out + sample_weighted(xg, fx.astype(jnp.float32),
                                     fy.astype(jnp.float32), wts, D, interpret,
-                                    row_slab=slab)
+                                    row_slab=slab, fwd_gather=fwd_gather)
     out = out.reshape(B, nH, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, nH * D)
 
@@ -834,6 +867,7 @@ def ms_deform_attn_hybrid(
     attention_weights: jnp.ndarray,
     min_rows_xla: int = 128,
     interpret: bool = False,
+    big_impl: str = "xla",
 ) -> jnp.ndarray:
     """Per-level impl split for multi-scale deformable attention.
 
@@ -846,6 +880,11 @@ def ms_deform_attn_hybrid(
     take XLA's gather lowering (kernels/sampling.py::ms_deform_attn on the
     single-level slice), smaller levels stay on the Pallas kernels; the sum
     is exact — levels are independent additive terms.
+
+    big_impl selects the large-level path: "xla" = the pure-JAX oracle
+    (autodiff backward -> XLA scatter-add), "ghb" = gather forward + the
+    transposed-hat Pallas backward (avoids the scatter lowering, keeps the
+    O(1)-per-sample forward).
     """
     from samrs_tpu.kernels.sampling import ms_deform_attn as _msda_xla
 
@@ -859,7 +898,12 @@ def ms_deform_attn_hybrid(
         li = sampling_locations[:, :, :, i:i + 1]
         wi = attention_weights[:, :, :, i:i + 1]
         if h >= min_rows_xla:
-            o = _msda_xla(vi, [spatial_shapes[i]], li, wi)
+            if big_impl == "ghb":
+                o = ms_deform_attn_pallas(vi, [spatial_shapes[i]], li, wi,
+                                          interpret=interpret, row_slab=0,
+                                          fwd_gather=True)
+            else:
+                o = _msda_xla(vi, [spatial_shapes[i]], li, wi)
         else:
             o = ms_deform_attn_pallas(vi, [spatial_shapes[i]], li, wi,
                                       interpret=interpret)

@@ -100,14 +100,17 @@ class MSDeformAttnModule(nn.Module):
         if jax.default_backend() != "tpu" or impl == "xla":
             out = ms_deform_attn(v.astype(jnp.float32), spatial_shapes, locations, weights)
         elif impl.startswith("hybrid"):
-            # per-level split: big maps (>= the row threshold) on XLA's
-            # gather lowering, small maps on the hat-matmul kernels — the
-            # kernels' O(H_l)-rows-per-sample matmuls stop paying at
-            # Mask2Former's 1024^2 stride-8 level (A/B escape hatch;
-            # SAMRS_MSDA_IMPL=hybrid[:rows])
-            rows = int(impl.split(":")[1]) if ":" in impl else 128
+            # per-level split: big maps (>= the row threshold) on a gather
+            # forward, small maps on the hat-matmul kernels — the kernels'
+            # O(H_l)-rows-per-sample matmuls stop paying at Mask2Former's
+            # 1024^2 stride-8 level (A/B escape hatch;
+            # SAMRS_MSDA_IMPL=hybrid[:rows[:ghb]] — ghb = gather fwd +
+            # transposed-hat Pallas bwd instead of XLA scatter-add bwd)
+            parts = impl.split(":")
+            rows = int(parts[1]) if len(parts) > 1 and parts[1] else 128
+            big = parts[2] if len(parts) > 2 else "xla"
             out = ms_deform_attn_hybrid(v, spatial_shapes, locations, weights,
-                                        min_rows_xla=rows)
+                                        min_rows_xla=rows, big_impl=big)
         else:
             # hat-matmul Pallas core (kernels/bilinear_gather.py); bf16 stays
             # bf16 on the MXU, fp32 accumulation

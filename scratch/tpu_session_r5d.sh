@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-5 session D (replaces r5c's tail once parity_selfab is done):
+# m2f 1024^2 MSDA hybrid A/B first (the big remaining perf lever), then the
+# session-B finetune-shape sweep rows.
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/r5logs
+run() { # run <tag> <timeout> <cmd...>
+  local tag=$1 to=$2; shift 2
+  echo "=== $tag $(date +%H:%M:%S) ==="
+  timeout "$to" "$@" > "/tmp/r5logs/$tag.log" 2>&1
+  echo "--- rc=$? $tag $(date +%H:%M:%S)"
+  grep -vE "^WARNING|^\[2m" "/tmp/r5logs/$tag.log" | tail -4
+}
+run m2f_hybrid128   2400 env SAMRS_MSDA_IMPL=hybrid:128 python scratch/trace_m2f.py 1 1024 4
+run m2f_ghb128      2400 env SAMRS_MSDA_IMPL=hybrid:128:ghb python scratch/trace_m2f.py 1 1024 4
+run m2f_dense_ab    2400 env SAMRS_MSDA_IMPL=pallas    python scratch/trace_m2f.py 1 1024 4
+run rvsa512_flash   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat flash_attn
+run ii512           2400 python bench_train.py internimage_t upernet 8 512
+run vitae512        2400 python bench_train.py vitaev2_s upernet 8 512
+run adapter512      2400 python bench_train.py vit_adapter_b upernet 4 512
+run swin896         2400 python bench_train.py swin_t upernet 2 896
+echo "=== ALL DONE $(date +%H:%M:%S) ==="

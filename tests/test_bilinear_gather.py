@@ -152,6 +152,30 @@ def test_ms_deform_attn_hybrid_matches_oracle(rng):
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
 
 
+def test_ms_deform_attn_hybrid_ghb_matches_oracle(rng):
+    # gather-forward + transposed-hat-backward variant on the big level
+    val, shapes, loc, w = _msda_inputs(rng)
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_hybrid(val, shapes, loc, w, min_rows_xla=6,
+                                interpret=True, big_impl="ghb")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+    def l_ref(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn(v, shapes, l, ww)))
+
+    def l_ghb(v, l, ww):
+        return jnp.sum(jnp.sin(ms_deform_attn_hybrid(
+            v, shapes, l, ww, min_rows_xla=6, interpret=True,
+            big_impl="ghb")))
+
+    gr = jax.grad(l_ref, argnums=(0, 1, 2))(val, loc, w)
+    gh = jax.grad(l_ghb, argnums=(0, 1, 2))(val, loc, w)
+    for a, b, name in zip(gr, gh, ["dvalue", "dloc", "dweights"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
+
+
 def test_ms_deform_attn_gradients_match_oracle(rng):
     val, shapes, loc, w = _msda_inputs(rng)
 
