@@ -11,10 +11,11 @@ run() { # run <tag> <timeout> <cmd...>
   echo "--- rc=$? $tag $(date +%H:%M:%S)"
   grep -vE "^WARNING|^\[2m" "/tmp/r5logs/$tag.log" | tail -4
 }
+run parity_selfab2  2400 python -m samrs_tpu.tools.parity_gate --random-init --variant vit_b --self-ab --out PARITY.json
 run m2f_hybrid128   2400 env SAMRS_MSDA_IMPL=hybrid:128 python scratch/trace_m2f.py 1 1024 4
 run m2f_ghb128      2400 env SAMRS_MSDA_IMPL=hybrid:128:ghb python scratch/trace_m2f.py 1 1024 4
 run m2f_dense_ab    2400 env SAMRS_MSDA_IMPL=pallas    python scratch/trace_m2f.py 1 1024 4
-run rvsa512_flash   2400 python bench_train.py vit_b_rvsa upernet 8 512 remat flash_attn
+run enc_trace       1800 python scratch/trace_encode.py
 run ii512           2400 python bench_train.py internimage_t upernet 8 512
 run vitae512        2400 python bench_train.py vitaev2_s upernet 8 512
 run adapter512      2400 python bench_train.py vit_adapter_b upernet 4 512
