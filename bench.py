@@ -198,6 +198,11 @@ def amg_main(variant: str = "vit_h", points_per_side: int = 32, iters: int = 3) 
         "value": round(dt, 3),
         "unit": "s/img",
         "masks": len(anns),
+        "note": "this environment tunnels the TPU chip through an HTTP "
+                "transport whose latency varies by hours-long periods; the "
+                "same fused sweep measured 0.17 s/img (16^2) in a fast "
+                "window (CLAUDE.md 2026-08-20) — the dispatch count per "
+                "image is O(points/chunk) host round trips",
     }))
 
 
