@@ -62,6 +62,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# per-corner transient budget for the gather-forward path (tests shrink it
+# to exercise multi-chunk concatenation)
+_GATHER_CHUNK_BYTES = 32 << 20
+
+
 def _hat(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
@@ -309,16 +314,8 @@ def _e2(W: int, Gc: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _make_sampler(Gc: int, interpret: bool, slab: int = 0,
                   fwd_gather: bool = False):
-    def fwd_gather_call(xg, fx, fy, mask):
-        """XLA-gather forward, O(1) work per sample: at large maps the hat
-        matmuls' O(H) row reduction stops paying (Mask2Former's 128x128
-        stride-8 level at 1024^2), while row gathers ride HBM bandwidth.
-        Paired with the transposed-hat Pallas backward (bwd_call below) so
-        the VJP never hits XLA's serialized scatter-add lowering."""
-        BG, H, WGc = xg.shape
-        _, P, K = fx.shape
-        W = WGc // Gc
-        img = xg.reshape(BG, H * W, Gc)
+    def _gather_chunk(img, fx, fy, mask, H, W):
+        BG, P, K = fx.shape
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
         wx = (fx - x0)[..., None]
@@ -336,6 +333,32 @@ def _make_sampler(Gc: int, interpret: bool, slab: int = 0,
         bot = g(y0i + 1, x0i) * (1 - wx) + g(y0i + 1, x0i + 1) * wx
         samp = top * (1 - wy) + bot * wy  # (BG, P, K, Gc)
         return jnp.sum(samp.astype(jnp.float32) * mask[..., None], axis=2)
+
+    def fwd_gather_call(xg, fx, fy, mask):
+        """XLA-gather forward, O(1) work per sample: at large maps the hat
+        matmuls' O(H) row reduction stops paying (Mask2Former's 128x128
+        stride-8 level at 1024^2), while row gathers ride HBM bandwidth.
+        Paired with the transposed-hat Pallas backward (bwd_call below) so
+        the VJP never hits XLA's serialized scatter-add lowering.
+
+        Chunked over queries: each corner gather materializes a
+        (BG, Pc, K, Gc) fp32 intermediate, and the unchunked m2f 1024^2
+        level-0 call (BG=8, P=21504, K=4, Gc=32 -> 88 MB/corner/layer)
+        pushed the B=1 training step ~200 MB past HBM; ~32 MB chunks bound
+        the transient peak with static shapes (plain python loop — no
+        lax.map, which is a remote-compile trap per CLAUDE.md)."""
+        BG, H, WGc = xg.shape
+        _, P, K = fx.shape
+        W = WGc // Gc
+        img = xg.reshape(BG, H * W, Gc)
+        bytes_per_q = BG * K * Gc * 4
+        Pc = max(1, min(P, _GATHER_CHUNK_BYTES // max(1, bytes_per_q)))
+        outs = [
+            _gather_chunk(img, fx[:, s:s + Pc], fy[:, s:s + Pc],
+                          mask[:, s:s + Pc], H, W)
+            for s in range(0, P, Pc)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
     def fwd_call(xg, fx, fy, mask):
         if fwd_gather:

@@ -152,6 +152,18 @@ def test_ms_deform_attn_hybrid_matches_oracle(rng):
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4, err_msg=name)
 
 
+def test_ms_deform_attn_ghb_chunked_matches_oracle(rng, monkeypatch):
+    # force the gather-forward into multiple query chunks (concat path)
+    import samrs_tpu.kernels.bilinear_gather as bg
+    monkeypatch.setattr(bg, "_GATHER_CHUNK_BYTES", 4 * 4 * 8 * 4 * 4)
+    val, shapes, loc, w = _msda_inputs(rng)
+    ref = ms_deform_attn(val, shapes, loc, w)
+    out = ms_deform_attn_hybrid(val, shapes, loc, w, min_rows_xla=3,
+                                interpret=True, big_impl="ghb")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_ms_deform_attn_hybrid_ghb_matches_oracle(rng):
     # gather-forward + transposed-hat-backward variant on the big level
     val, shapes, loc, w = _msda_inputs(rng)
