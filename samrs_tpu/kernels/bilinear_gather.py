@@ -63,8 +63,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 # per-corner transient budget for the gather-forward path (tests shrink it
-# to exercise multi-chunk concatenation)
-_GATHER_CHUNK_BYTES = 32 << 20
+# to exercise multi-chunk concatenation; env-overridable in MB for A/Bs —
+# 32 MB left the m2f 1024^2 B=1 step 17.8 MB past HBM)
+_GATHER_CHUNK_BYTES = int(
+    __import__("os").environ.get("SAMRS_GATHER_CHUNK_MB", "8")) << 20
 
 
 def _hat(t: jnp.ndarray) -> jnp.ndarray:

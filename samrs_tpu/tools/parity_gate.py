@@ -121,7 +121,7 @@ def _reference_decode(ref_sam, feats, boxes) -> np.ndarray:
     f = np.asarray(features, np.float32)
     if f.ndim == 4 and f.shape[-1] == ref_sam.prompt_encoder.embed_dim:
         f = f.transpose(0, 3, 1, 2)  # NHWC (ours) -> NCHW (torch)
-    pred.features = torch.from_numpy(f)
+    pred.features = torch.from_numpy(np.ascontiguousarray(f))
     pred.original_size = tuple(original_size)
     pred.input_size = tuple(input_size)
     pred.is_image_set = True
