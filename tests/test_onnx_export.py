@@ -96,6 +96,7 @@ class TestProtoCodec:
         assert g["input"][0]["type"]["tensor_type"]["shape"]["dim"][0]["dim_param"] == "B"
 
 
+@pytest.mark.slow  # ~56 s decoder export + numpy-eval parity; full suite covers it
 class TestDecoderExport:
     def test_parity_vs_jax(self, sam_and_vars):
         """Interpreter output == JAX decode (all 4 tokens, mask prompt on)."""

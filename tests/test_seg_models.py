@@ -80,6 +80,7 @@ def test_framework_single_head(decoder):
     assert logits.dtype == jnp.float32
 
 
+@pytest.mark.slow  # ~75 s all-heads grad pass; full suite covers it
 def test_framework_multi_head_and_grads():
     model = MultiHeadSegModel(
         backbone="swin_t", decoder="upernet", num_classes=(5, 7, 9), image_size=SIZE

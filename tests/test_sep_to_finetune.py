@@ -3,6 +3,8 @@ encoder-only checkpoint; finetune grafts it and trains (SURVEY.md §3.3-3.4)."""
 
 import os
 
+import pytest
+
 import numpy as np
 from PIL import Image
 
@@ -34,6 +36,7 @@ class TinyFt(SegModel):
         self.head = SegHead(6)
 
 
+@pytest.mark.slow  # ~108 s e2e driver chain; full suite covers it
 def test_sep_pretrain_then_finetune(tmp_path):
     rng = np.random.default_rng(0)
     root = tmp_path / "sota"

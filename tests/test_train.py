@@ -92,6 +92,7 @@ def test_dataloader_sharding(tmp_path):
     assert not np.array_equal(b0[0], b1[0])  # disjoint shards
 
 
+@pytest.mark.slow  # ~50 s e2e pretrain driver; full suite covers it
 def test_pretrain_driver_end_to_end(tmp_path, caplog):
     """Two datasets, tiny swin model, 4 iters + eval + checkpoints."""
     roots = {
