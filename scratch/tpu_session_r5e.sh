@@ -11,7 +11,7 @@ run() { # run <tag> <timeout> <cmd...>
   grep -vE "^WARNING|^\[2m" "/tmp/r5logs/$tag.log" | tail -4
 }
 run parity_selfab3  2400 python -m samrs_tpu.tools.parity_gate --random-init --variant vit_b --self-ab --out PARITY.json
-run m2f_ghb_retry   2400 env SAMRS_MSDA_IMPL=hybrid:128:ghb python scratch/trace_m2f.py 1 1024 4
+run m2f_ghb_retry2  2400 env SAMRS_MSDA_IMPL=hybrid:128:ghb python scratch/trace_m2f.py 1 1024 4
 run ii512           2400 python bench_train.py internimage_t upernet 8 512
 run vitae512        2400 python bench_train.py vitaev2_s upernet 8 512
 run adapter512      2400 python bench_train.py vit_adapter_b upernet 4 512
