@@ -54,6 +54,34 @@ bench("fwd dense-hat", dense)
 bench("fwd gather   ", ghb)
 bench_grad("fwd+bwd dense-hat", dense)
 bench_grad("fwd+bwd ghb      ", ghb)
+
+# isolate the chunking: raise the per-corner budget so the gather fwd is a
+# single chunk (11 chunks at the default 8 MB for these shapes)
+import samrs_tpu.kernels.bilinear_gather as bg
+bg._GATHER_CHUNK_BYTES = 512 << 20
+bg._make_sampler.cache_clear()
+ghb1 = bg._make_sampler(Gc, False, 0, True)
+bench("fwd gather 1-chunk", ghb1)
+bench_grad("fwd+bwd ghb 1-chunk", ghb1)
+
+# pure-autodiff gather (XLA scatter-add backward) for the bwd comparison
+def gather_fwd_raw(xg, fx, fy, m):
+    img = xg.reshape(BG, H * W, Gc)
+    x0 = jnp.floor(fx); y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]; wy = (fy - y0)[..., None]
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+    def g(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = jnp.take_along_axis(img, idx.reshape(BG, P * K, 1), axis=1)
+        return vals.reshape(BG, P, K, Gc) * valid[..., None]
+    top = g(y0i, x0i) * (1 - wx) + g(y0i, x0i + 1) * wx
+    bot = g(y0i + 1, x0i) * (1 - wx) + g(y0i + 1, x0i + 1) * wx
+    samp = top * (1 - wy) + bot * wy
+    return jnp.sum(samp.astype(jnp.float32) * m[..., None], axis=2)
+
+bench("fwd gather-raw    ", gather_fwd_raw)
+bench_grad("fwd+bwd gather-raw (scatter bwd)", gather_fwd_raw)
 # parity spot check
 a = np.asarray(dense(xg, fx, fy, m))
 b = np.asarray(ghb(xg, fx, fy, m))
