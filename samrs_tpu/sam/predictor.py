@@ -460,11 +460,17 @@ class SamPredictor:
         device work still pipelines back-to-back.  pts: (G, nb, 2, 2) fp32;
         labs: (G, nb, 2) int32."""
         G = pts.shape[0]
+        # ONE host->device upload for the whole grid, then device-side
+        # slices per chunk: per-chunk jnp.asarray(pts[g]) paid a blocking
+        # transport round trip per chunk through the tunneled runtime
+        # (2G uploads -> 2), while a device-array index is an async
+        # dispatch; the chunk executable sees identical shapes either way.
+        pts_d = jnp.asarray(pts)
+        labs_d = jnp.asarray(labs)
         chunks = [
             self._amg_chunk(
-                self.variables, self.features, jnp.asarray(pts[g]),
-                jnp.asarray(labs[g]), tuple(self.input_size),
-                tuple(self.original_size), offset,
+                self.variables, self.features, pts_d[g], labs_d[g],
+                tuple(self.input_size), tuple(self.original_size), offset,
             )
             for g in range(G)
         ]
