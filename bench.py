@@ -438,7 +438,10 @@ def _orchestrate() -> int:
         return deadline - time.monotonic() - margin
 
     attempts = [
-        ("vit_h", ["--run", "vit_h", "4", "8"], 2400),
+        # B=6 beats B=4 by a consistent ~0.7% (16.834/16.844 vs
+        # 16.717-16.75 across 2/4 runs, 2026-08-20) and B=8 loses
+        # (16.511): the encode MXU sweet spot saturates before 8
+        ("vit_h", ["--run", "vit_h", "6", "8"], 2400),
         ("vit_b-fast", ["--run", "vit_b", "1", "8"], 1200),
     ]
     errors = []
